@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to encode the scale posture: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), explicit shuffle-partition sizing, Arrow for
+every pandas-UDF boundary, and UTC session time so results compare bit-for-bit
+against the DuckDB oracle (parquet timestamps are tz-naive).
+
+On a real cluster only ``master`` and the partition counts change; every query
+in :mod:`restaurant_etl_spark.operators` is written against this config so the
+same logical plans hold at 100 TB (broadcast hints for dims, partial aggs,
+pushed filters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "restaurant-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count locally; on a cluster
+    set it to ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # -- oracle parity -------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- adaptive execution: runtime partition coalescing, skew-join
+        #    splitting, join-strategy switching -----------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle & scan sizing ----------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MiB
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- python/arrow boundary ----------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
