@@ -1,1 +1,183 @@
-"""Placeholder — populated in a later milestone."""
+"""Menu-ETL domain queries (SURVEY.md §2A) wired into the driver contract.
+
+The reference's semantic core — normalize → chunk → parse menu lines into
+validated 13-column item records → summary aggregates
+(process_menu.py:34-113, restaurant_etl/models/menu_models.py:177-250) —
+exercised end-to-end through the deterministic rule parser
+(operators/menu_parser.py) and oracle-checked against DuckDB.
+
+Because the driver's ``documents`` table is synthetic word-soup (not menus),
+the parser queries synthesize menu-shaped text FROM the relational tables
+with binary-exact prices (integers and quarters format identically under
+Java's ``format_string`` and C's ``printf``), so a DuckDB oracle can state
+the expected item table in closed form. Unit tests (tests/test_menu_parser.py)
+cover the non-synthesizable edge semantics (headers, descriptions, Market
+Price, ranges, slash-splitting) against reference behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.functions.cleaning import (
+    chunk_text,
+    normalize_extracted_text,
+    token_estimate,
+)
+from restaurant_etl_spark.operators.menu_parser import parse_menu_documents
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _fmt(c: Column) -> Column:
+    return F.format_string("%.2f", c)
+
+
+def _part_menu_docs(p: DataFrame) -> DataFrame:
+    """One single-line menu document per part, cycling through the four price
+    shapes the reference's prompt rules distinguish
+    (BetterVersion/prompt_template.py:13-47):
+
+      mode 0  dot-leader single price        "red widget .... $900.25"
+      mode 1  half/full pair                 "red widget (Half/Full) $900.50/$901.00"
+      mode 2  small/medium/large triple      "red widget $901.00/$902.00/$903.00"
+      mode 3  dietary-tag suffix + price     "red widget (Vegetarian) $900.75"
+
+    Prices derive from floor(p_retailprice) plus exact binary fractions so
+    Spark/DuckDB formatting agrees bit-for-bit.
+    """
+    b = F.floor("p_retailprice").cast("double")
+    mode = F.col("p_partkey") % 4
+    text = (
+        F.when(mode == 0, F.concat("p_name", F.lit(" .... $"), _fmt(b + 0.25)))
+        .when(mode == 1, F.concat("p_name", F.lit(" (Half/Full) $"), _fmt(b + 0.5), F.lit("/$"), _fmt(b + 1)))
+        .when(mode == 2, F.concat("p_name", F.lit(" $"), _fmt(b + 1), F.lit("/$"), _fmt(b + 2), F.lit("/$"), _fmt(b + 3)))
+        .otherwise(F.concat("p_name", F.lit(" (Vegetarian) $"), _fmt(b + 0.75)))
+    )
+    return p.select(F.col("p_partkey").alias("doc_id"), text.alias("text"))
+
+
+@register(
+    "menu_parse_items",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey AS doc_id,
+               p_partkey % 4 AS mode,
+               p_name AS name,
+               floor(p_retailprice) AS b,
+               lower(regexp_extract(p_name, '(?i)\\b(extra hot|mild|spicy|hot)\\b', 1)) AS spice_raw
+        FROM part
+    )
+    SELECT doc_id,
+           name AS item_name,
+           CAST(NULL AS VARCHAR) AS category,
+           CAST(NULL AS VARCHAR) AS description,
+           CASE mode
+             WHEN 0 THEN '$' || printf('%.2f', b + 0.25)
+             WHEN 1 THEN 'Half: $' || printf('%.2f', b + 0.5) || ' | Full: $' || printf('%.2f', b + 1)
+             WHEN 2 THEN 'Small: $' || printf('%.2f', b + 1) || ' | Medium: $' || printf('%.2f', b + 2)
+                     || ' | Large: $' || printf('%.2f', b + 3)
+             WHEN 3 THEN '$' || printf('%.2f', b + 0.75)
+           END AS price_display,
+           CASE mode WHEN 0 THEN b + 0.25 WHEN 3 THEN b + 0.75 END AS price,
+           CASE WHEN mode = 1 THEN b + 0.5 END AS half_plate_price,
+           CASE WHEN mode = 1 THEN b + 1.0 END AS full_plate_price,
+           CASE WHEN mode = 2 THEN b + 1.0 END AS small_price,
+           CASE WHEN mode = 2 THEN b + 2.0 END AS medium_price,
+           CASE WHEN mode = 2 THEN b + 3.0 END AS large_price,
+           '$' AS currency,
+           CASE spice_raw WHEN 'hot' THEN 'Hot' WHEN 'mild' THEN 'Mild'
+                          WHEN 'spicy' THEN 'Spicy' WHEN 'extra hot' THEN 'Extra Hot' END AS spice_level,
+           CASE WHEN mode = 3 THEN 'Vegetarian' END AS dietary_tags,
+           CASE mode WHEN 0 THEN b + 0.25 WHEN 1 THEN b + 1.0
+                     WHEN 2 THEN b + 3.0 WHEN 3 THEN b + 0.75 END AS primary_price
+    FROM m
+    """,
+    category="menu",
+)
+def menu_parse_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end rule parse: synthesized menu docs → validated item table.
+
+    Exercises F1 normalize, line explode, all four price-shape rules, F2
+    name cleanup, F3 currency, P2 validity, F5 price_display, F6 primary
+    price, F7 tag flatten (menu_models.py:64-133,177-221)."""
+    docs = _part_menu_docs(_t(spark, sf_dir, "part"))
+    return parse_menu_documents(docs)
+
+
+@register(
+    "menu_category_summary",
+    oracle="""
+    SELECT upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS category,
+           count(*)                                          AS n_items,
+           CAST(count(*) AS BIGINT)                          AS n_priced,
+           round(min(floor(p_retailprice) + 0.25), 2)        AS min_price,
+           round(max(floor(p_retailprice) + 0.25), 2)        AS max_price,
+           round(avg(floor(p_retailprice) + 0.25), 4)        AS avg_price
+    FROM part
+    GROUP BY p_type
+    """,
+    category="menu",
+)
+def menu_category_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's get_summary (menu_models.py:223-250: A1 category
+    histogram, A2 priced count, A3 min/max/avg) over multi-line menu docs
+    with ALL-CAPS section headers — exercises the rule-2 category window.
+
+    One doc per p_type: header line + one priced item line per part."""
+    p = _t(spark, sf_dir, "part")
+    line = F.concat("p_name", F.lit(" $"), _fmt(F.floor("p_retailprice").cast("double") + 0.25))
+    docs = (
+        p.select("p_type", F.struct("p_partkey", line.alias("line")).alias("s"))
+        .groupBy("p_type")
+        .agg(
+            F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda s: s["line"]), "\n").alias("body")
+        )
+        .select(F.col("p_type").alias("doc_id"), F.concat(F.upper("p_type"), F.lit("\n"), "body").alias("text"))
+    )
+    items = parse_menu_documents(docs, attach_descriptions=False)
+    return items.groupBy("category").agg(
+        F.count("*").alias("n_items"),
+        F.count(F.when(F.col("primary_price").isNotNull(), 1)).alias("n_priced"),
+        F.round(F.min("primary_price"), 2).alias("min_price"),
+        F.round(F.max("primary_price"), 2).alias("max_price"),
+        F.round(F.avg("primary_price"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "menu_normalize_chunk_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(trim(text), '\\.{2,}', ' ', 'g'),
+                                   '[ \\t]{2,}', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           0 AS chunk_idx,
+           norm AS chunk_text,
+           CAST(length(norm) AS INTEGER) AS chunk_chars,
+           greatest(1, length(norm) // 4) AS n_tokens
+    FROM t
+    """,
+    category="menu",
+)
+def menu_normalize_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 normalize + R1 fixed-width chunking + F10 token estimate over the
+    documents corpus (clean_text.py:3-27, llm_parser.py:20-21,169-181).
+
+    The corpus is single-line and < 2000 chars so every doc is one chunk;
+    the multi-chunk path is unit-tested (tests/test_menu_parser.py)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_extracted_text(F.col("text"))
+    return (
+        d.select("doc_id", F.posexplode(chunk_text(norm)).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_chars", F.length("chunk_text"))
+        .withColumn("n_tokens", token_estimate(F.col("chunk_text")))
+    )

@@ -1,0 +1,260 @@
+"""Deterministic rule-based menu parser (SURVEY.md §2A U3 / §7.0).
+
+Implements the reference's *declared* extraction semantics — the decision
+rules its LLM prompt specifies (BetterVersion/prompt_template.py:13-47) —
+as native Column expressions, so the correctness path needs no external
+calls and stays inside whole-stage codegen:
+
+  rule 2  header lines (ALL CAPS) → category of following items
+  rule 3a slash-separated names matching slash-separated prices → split
+          into separate items, i-th name → i-th price
+  rule 3b one name + 3 slash prices (or explicit Small/Medium/Large
+          label) → size variants
+  rule 3c one name + 2 slash prices (or Half/Full label) → half/full
+  rule 4  currency symbols stripped into a currency column; price range
+          ``100-150`` → lower bound; ``Market Price``/``MP`` → null price
+          with display override
+  rule 1/5 priceless lines under an item → its description (joined)
+
+The optional LLM parser (operators/llm_parse.py) emits the same schema and
+is off the correctness path, mirroring the reference's split between
+declared rules and API behavior (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from restaurant_etl_spark.functions.cleaning import (
+    clean_item_name,
+    flatten_dietary_tags,
+    normalize_currency,
+    normalize_extracted_text,
+    price_display,
+    primary_price,
+    validity_predicate,
+)
+
+#: one price token: optional currency symbol + number with ≤2 decimals
+PRICE_TOKEN = r"[$₹€£¥]?\d+(?:\.\d{1,2})?"
+#: slash-joined run of price tokens at end of line
+PRICE_TAIL = rf"((?:{PRICE_TOKEN}\s*/\s*)*{PRICE_TOKEN})\s*$"
+#: price range at end of line (rule 4): lower bound wins
+PRICE_RANGE = r"(\d+(?:\.\d{1,2})?)\s*-\s*(\d+(?:\.\d{1,2})?)\s*$"
+#: header heuristic (rule 2): ALL CAPS, no digits, ≥3 chars
+HEADER_RE = r"^[A-Z][A-Z &'\-]{2,}$"
+MP_RE = r"(?i)(market\s*price|\bM\.?P\.?)\s*$"
+SIZE_LABEL_RE = r"(?i)\(\s*small\s*/\s*medium\s*/\s*large\s*\)"
+HALF_LABEL_RE = r"(?i)\(\s*half\s*/\s*full\s*\)"
+TAG_SUFFIX_RE = r"(?i)\s*\((vegetarian|vegan|gluten[- ]free|mild|hot|spicy)\)\s*$"
+
+_ITEM_FIELDS = ["item_name", "price", "half_plate_price", "full_plate_price",
+                "small_price", "medium_price", "large_price", "display_override"]
+
+
+def _item(name: Column, price=None, half=None, full=None, small=None, medium=None,
+          large=None, display=None) -> Column:
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    return F.struct(
+        name.alias("item_name"),
+        (price if price is not None else null_d).alias("price"),
+        (half if half is not None else null_d).alias("half_plate_price"),
+        (full if full is not None else null_d).alias("full_plate_price"),
+        (small if small is not None else null_d).alias("small_price"),
+        (medium if medium is not None else null_d).alias("medium_price"),
+        (large if large is not None else null_d).alias("large_price"),
+        (display if display is not None else null_s).alias("display_override"),
+    )
+
+
+def split_lines(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -> DataFrame:
+    """Normalize (F1) then explode into a (doc_id, line_no, line) table."""
+    normalized = docs.select(doc_id, normalize_extracted_text(F.col(text)).alias("__norm"))
+    return normalized.select(
+        doc_id, F.posexplode(F.split(F.col("__norm"), "\n")).alias("line_no", "line")
+    ).filter(F.length("line") > 0)
+
+
+ITEM_ARRAY_DDL = (
+    "array<struct<item_name:string,price:double,half_plate_price:double,"
+    "full_plate_price:double,small_price:double,medium_price:double,"
+    "large_price:double,display_override:string>>"
+)
+
+
+def parse_lines(lines: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line) → per-line classification + raw item array.
+
+    Adds columns: __kind ('header'/'item'/'other'), __currency, __items.
+    """
+    is_header = F.col("line").rlike(HEADER_RE)
+
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("line"), SIZE_LABEL_RE, ""), HALF_LABEL_RE, "")
+    )
+
+    tail = F.regexp_extract(stripped, PRICE_TAIL, 1)
+    range_lo = F.regexp_extract(stripped, PRICE_RANGE, 1)
+    is_mp = stripped.rlike(MP_RE)
+    # "100-150" also matches PRICE_TAIL on its last token, so the range
+    # branch must win whenever a dash immediately precedes the tail
+    is_range = range_lo != ""
+
+    toks = F.filter(F.transform(F.split(tail, "/"), F.trim), lambda x: x != "")
+    vals = F.transform(toks, lambda t: F.regexp_replace(t, r"[^0-9.]", "").cast("double"))
+    curs = F.filter(
+        F.transform(toks, lambda t: F.regexp_extract(t, r"^([$₹€£¥])", 1)), lambda c: c != ""
+    )
+    currency = F.when(F.size(curs) > 0, F.element_at(curs, 1))
+
+    # name = line minus the matched price suffix, trailing filler trimmed
+    name_base = F.when(
+        tail != "", F.substring(stripped, F.lit(1), F.length(stripped) - F.length(tail))
+    )
+    raw_name = (
+        F.when(is_mp, F.regexp_replace(stripped, MP_RE, ""))
+        .when(is_range, F.regexp_replace(stripped, PRICE_RANGE, ""))
+        .otherwise(name_base)
+    )
+    name = F.regexp_replace(raw_name, r"[\s.\-:]+$", "")
+    name = F.regexp_replace(name, TAG_SUFFIX_RE, "")
+
+    name_parts = F.transform(F.split(name, "/"), F.trim)
+    n_names = F.size(name_parts)
+    n_prices = F.size(vals)
+
+    v = lambda i: F.element_at(vals, i)  # noqa: E731 — 1-based
+    items = (
+        F.when(is_mp, F.array(_item(name, display=F.lit("MP"))))
+        .when(is_range, F.array(_item(name, price=range_lo.cast("double"))))
+        .when(
+            (tail != "") & (n_names > 1) & (n_names == n_prices),
+            F.zip_with(name_parts, vals, lambda nm, val: _item(nm, price=val)),
+        )
+        .when((tail != "") & (n_prices == 3), F.array(_item(name, small=v(1), medium=v(2), large=v(3))))
+        .when((tail != "") & (n_prices == 2), F.array(_item(name, half=v(1), full=v(2))))
+        .when((tail != "") & (n_prices == 1), F.array(_item(name, price=v(1))))
+        .otherwise(F.array().cast(ITEM_ARRAY_DDL))
+    )
+
+    classified = (
+        lines.withColumn("__is_header", is_header)
+        .withColumn("__currency", currency)
+        .withColumn("__items", F.when(~is_header, items).otherwise(F.array().cast(ITEM_ARRAY_DDL)))
+    )
+    kind = (
+        F.when(F.col("__is_header"), "header")
+        .when(F.size("__items") > 0, "item")
+        .otherwise("other")
+    )
+    return classified.withColumn("__kind", kind)
+
+
+def assemble_items(lines: DataFrame, attach_descriptions: bool = True) -> DataFrame:
+    """Classified lines → one row per menu item with category (rule 2),
+    description (rule 1/5), spice/dietary tags, raw prices. One shuffle on
+    doc_id (window) + optional aggregation for descriptions."""
+    parsed = parse_lines(lines)
+
+    w = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    with_cat = parsed.withColumn(
+        "category",
+        F.last(F.when(F.col("__kind") == "header", F.initcap(F.lower(F.col("line")))), ignorenulls=True).over(w),
+    ).withColumn(
+        "__anchor",
+        F.last(F.when(F.col("__kind") == "item", F.col("line_no")), ignorenulls=True).over(w),
+    )
+
+    items = (
+        with_cat.filter(F.col("__kind") == "item")
+        .select(
+            "doc_id", "line_no", "category", "line",
+            F.col("__currency").alias("currency_symbol"),
+            F.posexplode("__items").alias("variant_idx", "it"),
+        )
+        .select(
+            "doc_id", "line_no", "category", "line", "currency_symbol", "variant_idx",
+            *[F.col(f"it.{f}").alias(f) for f in _ITEM_FIELDS],
+        )
+    )
+
+    if attach_descriptions:
+        descs = (
+            with_cat.filter((F.col("__kind") == "other") & F.col("__anchor").isNotNull())
+            .groupBy("doc_id", F.col("__anchor").alias("line_no"))
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct(F.col("line_no").alias("n"), F.col("line").alias("t")))),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ).alias("description")
+            )
+        )
+        items = items.join(descs, ["doc_id", "line_no"], "left")
+    else:
+        items = items.withColumn("description", F.lit(None).cast("string"))
+
+    blob = F.concat_ws(" ", F.col("line"), F.col("description"))
+    spice = F.when(
+        F.regexp_extract(blob, r"(?i)\b(extra hot|mild|spicy|hot)\b", 1) != "",
+        F.initcap(F.regexp_extract(blob, r"(?i)\b(extra hot|mild|spicy|hot)\b", 1)),
+    )
+    tags = F.filter(
+        F.array(
+            F.when(blob.rlike(r"(?i)\bvegetarian\b|\(v\)"), "Vegetarian"),
+            F.when(blob.rlike(r"(?i)\bvegan\b"), "Vegan"),
+            F.when(blob.rlike(r"(?i)gluten[- ]free|\(gf\)"), "Gluten-Free"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return items.withColumn("spice_level", spice).withColumn("dietary_tags", tags).drop("line")
+
+
+def finalize_items(items: DataFrame, currency_default: str = "$",
+                   detected_currency: Column | None = None) -> DataFrame:
+    """Raw parsed items → validated 13-column output table (P2 filter,
+    F2/F3/F5/F6/F7/F8 derivations; menu_models.py:177-221)."""
+    out = (
+        items.withColumn("item_name", clean_item_name(F.col("item_name")))
+        .withColumn("currency", normalize_currency(F.col("currency_symbol")))
+    )
+    if detected_currency is not None:
+        out = out.withColumn("currency", F.coalesce(F.col("currency"), detected_currency))
+    out = out.filter(validity_predicate())
+    disp = F.coalesce(F.col("display_override"), price_display(currency_default))
+    return out.select(
+        "doc_id",
+        "item_name",
+        "category",
+        "description",
+        disp.alias("price_display"),
+        "price",
+        "half_plate_price",
+        "full_plate_price",
+        "small_price",
+        "medium_price",
+        "large_price",
+        "currency",
+        "spice_level",
+        flatten_dietary_tags(F.col("dietary_tags")).alias("dietary_tags"),
+        primary_price().alias("primary_price"),
+    )
+
+
+def parse_menu_documents(docs: DataFrame, doc_id: str = "doc_id", text: str = "text",
+                         currency_default: str = "$",
+                         attach_descriptions: bool = True) -> DataFrame:
+    """End-to-end: documents(doc_id, text) → validated item table.
+
+    Distributed shape: narrow ops + one window shuffle on doc_id + one
+    description agg — linear in corpus size, no driver-side loops; at 100 TB
+    the doc_id partitioning carries every stage.
+    """
+    lines = split_lines(docs, doc_id, text)
+    items = assemble_items(lines, attach_descriptions)
+    return finalize_items(items, currency_default)
