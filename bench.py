@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side result marshalling) so the number measures engine throughput,
+not collect() overhead. Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from restaurant_etl_spark.operators.registry import load_all
+from restaurant_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one representative per operator family (kept in sync with
+#: SURVEY.md §2 as coverage widens). Unregistered names are skipped so the
+#: bench never breaks mid-build.
+HEADLINE = [
+    # relational / TPC-H shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # window functions
+    "window_topk_per_group",
+    "window_running_total",
+    # grouping sets & set ops
+    "agg_rollup_geo",
+    "set_union_distinct",
+    # as-of join
+    "asof_purchase_last_view",
+    # menu domain pipeline
+    "menu_parse_items",
+    "menu_category_summary",
+    # extension surface (registered in later milestones)
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "stream_session_windows_batch",
+]
+
+
+def main() -> int:
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+
+    spark = get_spark("bench")
+    specs = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
