@@ -1,1 +1,325 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators (SURVEY.md §2B): exact, MinHash+LSH, SimHash,
+and exact n-gram Jaccard — the training-data-pipeline dedup family.
+
+Design for 100 TB:
+  * exact dedup = hash-groupBy on a content digest (one shuffle on the
+    digest key, group sizes bounded by true duplicate multiplicity);
+  * MinHash-LSH = per-row signature (narrow) → explode to (band, doc)
+    (narrow) → self-join on the band key (shuffle bounded by bucket sizes,
+    tunable via bands×rows) → exact-Jaccard verify only on candidates;
+  * SimHash = per-row 60-bit signature → band-bucket join, verify by
+    Hamming distance (bit_count(xor));
+  * all hashing is md5-based so DuckDB oracles replay the exact pipeline.
+
+No MLlib dependency: signatures are higher-order array expressions, fully
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+#: MinHash parameters: 9 salted hash functions, 3 bands × 3 rows.
+#: P(candidate | j) = 1 - (1 - j^3)^3  →  0.98 at j=0.9, 0.003 at j=0.1.
+N_HASHES = 9
+BAND_ROWS = 3
+N_BANDS = N_HASHES // BAND_ROWS
+
+#: near-dup thresholds
+JACCARD_THRESHOLD = 0.8
+HAMMING_THRESHOLD = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct 3-token shingles per document. Narrow."""
+    toks = _toks(F.col("text"))
+    shingles = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                    FROM documents))
+"""
+
+
+def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """All pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
+    Inverted-index self-join on the shingle key: the shuffle is bounded by
+    per-shingle posting-list sizes, not corpus²."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS vocab_hash
+        FROM documents
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY vocab_hash) AS canonical_id,
+           count(*)    OVER (PARTITION BY vocab_hash) AS n_copies,
+           doc_id = min(doc_id) OVER (PARTITION BY vocab_hash) AS is_kept
+    FROM h
+    """,
+    category="dedup",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content digest (bag-of-words hash): every
+    doc mapped to the min-doc_id canonical of its digest group. A window on
+    the digest key — one shuffle; survivors = is_kept. Deterministic,
+    unlike dropDuplicates' arbitrary row choice."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    h = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("vocab_hash"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vocab_hash")
+    return h.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (ground truth for the LSH variants)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
+    FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    category="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via an
+    inverted-index self-join — no quadratic all-pairs comparison."""
+    return _exact_jaccard_pairs(shingle_table(_docs(spark, sf_dir)), JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<string>): per-doc MinHash signature, hash i =
+    min over shingles of md5('<i>|' + shingle). One groupBy on doc_id."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {k} AS band_idx, h{3*k} || h{3*k+1} || h{3*k+2} AS band FROM sig"
+            for k in range(N_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS c
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        JOIN cand ON s1.doc_id = cand.doc_a AND s2.doc_id = cand.doc_b
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
+    FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    category="dedup",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 9 salted-md5 minhashes →
+    3 bands × 3 rows → band-bucket self-join for candidates → exact-Jaccard
+    verify (≥ 0.8) on candidates only.
+
+    Scale: the only quadratic risk is band-bucket size; 3-row bands put
+    P(collision) at j³ per band, so buckets stay tiny unless docs really
+    are near-dups. Candidate verification touches candidates' shingles
+    only (semi-join pushes the pair filter into the inverted index)."""
+    docs = _docs(spark, sf_dir)
+    sh = shingle_table(docs)
+    sig = minhash_signatures(sh)
+
+    band_cols = [
+        F.concat(*[F.element_at("sig", 3 * k + r + 1) for r in range(BAND_ROWS)]).alias(f"b{k}")
+        for k in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard, touching only candidate docs
+    all_pairs = _exact_jaccard_pairs(sh, threshold=0.0)
+    return all_pairs.join(cand, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+#: 60-bit token hash: first 15 hex digits of md5 (fits BIGINT, portable).
+_SPARK_SIMHASH = """
+aggregate(
+  sequence(0, 59), 0L,
+  (acc, b) -> acc + IF(
+      aggregate(toks, 0,
+        (s, t) -> s + CAST((shiftright(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), b) & 1) * 2 - 1 AS INT)
+      ) > 0,
+      shiftleft(1L, 59 - b), 0L))
+"""
+
+_DUCK_SIMHASH = """
+CAST(list_sum(list_transform(range(0, 60), b -> CASE WHEN
+    list_sum(list_transform(toks, t ->
+        ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) > 0
+    THEN (1::BIGINT << (59 - b)) ELSE 0 END)) AS BIGINT)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM d),
+    bands AS (
+        SELECT doc_id, simhash, unnest(range(0, 4)) AS band_idx,
+               (simhash >> (CAST(unnest(range(0, 4)) AS INTEGER) * 15)) & 32767 AS band
+        FROM s
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_THRESHOLD}
+    """,
+    category="dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-doc 60-bit signature over distinct tokens
+    (sign of per-bit vote), 4×15-bit band blocking, Hamming ≤ 6 verify.
+    Signature is one narrow higher-order expression; the join is bounded by
+    band-bucket sizes."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
+    )
+    s = d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(32767)).alias(f"b{k}")
+                for k in range(4)
+            ])
+        ).alias("band_idx", "band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )

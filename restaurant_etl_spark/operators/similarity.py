@@ -1,1 +1,247 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embeddings (SURVEY.md §2B): brute-force cosine
+top-k, random-hyperplane LSH bucketing (the ANN scale path), and centroid
+assignment — all native higher-order array expressions, no UDFs, no MLlib.
+
+Scale shape:
+  * top-k: tiny query set broadcast against the corpus — scan stays
+    embarrassingly parallel, per-partition top-k via window;
+  * LSH: per-row 16-bit hyperplane signature (narrow), band-bucket
+    self-join (shuffle bounded by bucket sizes), exact re-rank on
+    candidates only;
+  * hashing/hyperplanes derive from md5 so the DuckDB oracle replays the
+    identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+DIM = 64
+TOP_K = 10
+#: LSH: 16 hyperplane bits, 2 bands × 8 bits.
+N_BITS = 16
+N_BANDS = 2
+BAND_BITS = N_BITS // N_BANDS
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dvec(col: str) -> Column:
+    """float[] → double[] so both engines accumulate in double."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+_DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q_id, e.vec_id,
+               round({_DUCK_DOT.format(a='qv', b='e.embedding')}
+                     / ({_DUCK_NORM.format(a='qv')} * {_DUCK_NORM.format(a='e.embedding')}), 4) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q_id
+    )
+    SELECT q_id, vec_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for each query vector (every 100th id):
+    broadcast the query set, scan the corpus once, window top-k per query.
+    This is the exact baseline ANN variants are measured against."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(_dvec("qv"), _dvec("embedding")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.select("q_id", "vec_id", "cos", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash for embeddings) — the ANN scale path
+# --------------------------------------------------------------------------
+
+#: hyperplane j has 64 ±1 entries taken from the bits of two 32-bit halves
+#: of md5('h<j>'); entry i = bit i of that 64-bit value, mapped to ±1.
+_SPARK_SIG = f"""
+transform(sequence(0, {N_BITS - 1}), j -> IF(
+  aggregate(sequence(1, {DIM}), 0.0D, (acc, i) -> acc +
+    CAST(element_at(v, i) AS DOUBLE) * CAST(
+      (CASE WHEN i <= 32
+            THEN shiftright(CAST(conv(substr(md5(concat('h', j)), 1, 8), 16, 10) AS BIGINT), i - 1)
+            ELSE shiftright(CAST(conv(substr(md5(concat('h', j)), 9, 8), 16, 10) AS BIGINT), i - 33)
+       END & 1) * 2 - 1 AS DOUBLE)
+  ) > 0.0D, 1, 0))
+"""
+
+_DUCK_SIG = f"""
+list_transform(range(0, {N_BITS}), j -> CASE WHEN
+  list_sum(list_transform(range(1, {DIM + 1}), i ->
+    v[i]::DOUBLE * (((CASE WHEN i <= 32
+         THEN ('0x' || substr(md5('h' || j::VARCHAR), 1, 8))::BIGINT >> (i - 1)
+         ELSE ('0x' || substr(md5('h' || j::VARCHAR), 9, 8))::BIGINT >> (i - 33)
+     END & 1) * 2 - 1)::DOUBLE))) > 0.0
+  THEN 1 ELSE 0 END)
+"""
+
+
+@register(
+    "similarity_lsh_candidates",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {_DUCK_SIG} AS sig FROM e),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, v, {k} AS band_idx, "
+            f"list_aggregate(list_transform(range(1, {BAND_BITS + 1}), "
+            f"r -> sig[{k * BAND_BITS} + r] * (1 << (r - 1))), 'sum') AS band FROM s"
+            for k in range(N_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round({_DUCK_DOT.format(a='va', b='vb')}
+                 / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}), 4) AS cos
+    FROM cand
+    WHERE {_DUCK_DOT.format(a='va', b='vb')}
+          / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}) >= 0.2
+    """,
+    category="similarity",
+)
+def similarity_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate generation: 16-bit random-hyperplane signature,
+    2 bands × 8 bits, bucket self-join, exact cosine re-rank (keep ≥ 0.2).
+    At 100 TB only signatures shuffle (16 ints/row); full vectors are
+    fetched for candidate pairs alone."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    s = e.select("vec_id", "v", F.expr(_SPARK_SIG).alias("sig"))
+    band_val = [
+        F.expr(
+            f"aggregate(sequence(1, {BAND_BITS}), 0, "
+            f"(acc, r) -> acc + element_at(sig, {k * BAND_BITS} + r) * CAST(shiftleft(1, r - 1) AS INT))"
+        ).alias(f"band{k}")
+        for k in range(N_BANDS)
+    ]
+    bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = cosine(_dvec("va"), _dvec("vb"))
+    return cand.select("id_a", "id_b", F.round(cos, 4).alias("cos")).filter(
+        cos >= 0.2
+    ).select("id_a", "id_b", "cos")
+
+
+@register(
+    "similarity_centroid_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    ex AS (
+        SELECT label, unnest(range(1, {DIM + 1})) AS i,
+               unnest(list_transform(v, x -> x::DOUBLE)) AS x
+        FROM e
+    ),
+    dims AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY label, i),
+    cent AS (
+        SELECT label AS c_label, list(round(c, 6) ORDER BY i) AS cv FROM dims GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,  c.c_label,
+               round({_DUCK_DOT.format(a='e.v', b='c.cv')}
+                     / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) AS cos
+        FROM e CROSS JOIN cent c
+    )
+    SELECT vec_id, label, c_label AS nearest_centroid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+        FROM scored) t
+    WHERE rn = 1
+    """,
+    category="similarity",
+)
+def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids (posexplode → per-dimension
+    avg → re-assemble, rounded for engine-stable floats), then nearest
+    centroid per vector by cosine. The centroid table is tiny → broadcast;
+    the corpus scan stays narrow."""
+    e = _emb(spark, sf_dir).select("vec_id", "label", F.col("embedding").alias("v"))
+    dims = (
+        e.select("label", F.posexplode(_dvec("v")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("nearest_centroid"), "cos")
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""Batch-SQL equivalents of the streaming operator surface (SURVEY.md §2B)
+over the ``events`` table — tumbling / sliding / session windows and
+in-window dedup — oracle-checked against DuckDB. The genuinely streaming
+implementations (watermarks, state, availableNow triggers) live in
+:mod:`restaurant_etl_spark.streaming` and are semantics-tested in
+tests/test_streaming.py; these batch twins define their expected output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "stream_tumbling_window_batch",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type — the batch twin
+    of ``groupBy(window(ts, '10 minutes'), event_type)``."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_sliding_window_batch",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000 - off * 1000000) AS win_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (300)) k(off)
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide (every event lands
+    in exactly two windows) — batch twin of ``window(ts, '10m', '5m')``."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_session_windows_batch",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN} * 60000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM g
+    )
+    SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, session_no
+    """,
+    category="streaming",
+)
+def stream_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → new-session
+    flag → running sum = session number → per-session aggregate. Batch twin
+    of ``session_window(ts, '30 minutes')``; two shuffles on user_id."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    s = g.withColumn("session_no", F.sum("is_new").over(wc).cast("int"))
+    return s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "stream_dedup_in_window_batch",
+    oracle="""
+    SELECT user_id, event_type,
+           make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+           min(ts) AS first_ts,
+           count(*) AS n_suppressed
+    FROM events
+    GROUP BY user_id, event_type, 3
+    """,
+    category="streaming",
+)
+def stream_dedup_in_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup: keep the first event per (user, type, 10-min window),
+    counting suppressed duplicates — batch twin of
+    ``dropDuplicatesWithinWatermark`` keyed on (user_id, event_type, window)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        "user_id", "event_type", F.window("ts", "10 minutes").alias("w")
+    ).agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_suppressed")).select(
+        "user_id", "event_type", F.col("w.start").alias("win_start"), "first_ts", "n_suppressed"
+    )
+
+
+@register(
+    "stream_tumbling_window_live",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming execution oracle-checked end-to-end:
+    replay events as a file stream, watermarked tumbling-window aggregate,
+    drain with availableNow into a memory sink, return the drained table.
+    Proves the streaming path computes exactly the batch/DuckDB answer."""
+    import os as _os
+
+    from restaurant_etl_spark.streaming import (
+        events_file_stream,
+        run_available_now,
+        stage_events_source,
+        tumbling_counts,
+    )
+
+    src = stage_events_source(spark, sf_dir)
+    table = "tumbling_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(tumbling_counts(events_file_stream(spark, src)), table, "complete")
+    return spark.table(table)

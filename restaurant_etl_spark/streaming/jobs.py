@@ -1,0 +1,115 @@
+"""Structured Streaming jobs over the events stream (SURVEY.md §2B).
+
+The reference has no streaming at all (batch directory re-runs only,
+dagster_project/assets/menu_assets.py:32); this module supplies the
+streaming operator family the driver mandates, with event-time semantics:
+
+  * file-stream source replaying events.parquet;
+  * watermarked tumbling / sliding window aggregations;
+  * session windows (native ``session_window``);
+  * streaming dedup (``dropDuplicatesWithinWatermark``);
+  * ``availableNow`` runner draining a stream into a memory sink so batch
+    tests and DuckDB oracles can check streaming output exactly.
+
+Scale notes: state size is bounded by the watermark horizon; keys are
+(user_id, ...) so state partitions hash-evenly; availableNow is the batch
+backfill path — the same code deploys against a real source (Kafka etc.)
+by swapping the reader.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.sources.tables import load_table
+
+WATERMARK = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def stage_events_source(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Materialize events as a micros-timestamp parquet directory usable as
+    a file-stream source (the raw file is TIMESTAMP(NANOS), which the
+    streaming reader can't ingest directly — see sources/tables.py)."""
+    out_dir = out_dir or os.path.join(
+        tempfile.gettempdir(), f"events_stream_src_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def events_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over a staged events directory (schema from the footer)."""
+    schema = spark.read.parquet(src_dir).schema
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def tumbling_counts(stream: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of operators/streaming_batch.py:stream_tumbling_window_batch."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Watermarked sliding-window aggregate (length 10m, slide 5m)."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Native session windows: per-user sessions closed after ``gap`` of
+    inactivity — streaming twin of stream_session_windows_batch."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_gap"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type): duplicates arriving within
+    the watermark horizon are suppressed, state is evicted beyond it."""
+    return stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    df: DataFrame, table: str, output_mode: str = "complete", timeout_s: int = 300
+) -> None:
+    """Drain the stream with the availableNow trigger into a memory sink;
+    read results back with ``spark.table(table)``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()

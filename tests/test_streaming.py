@@ -1,0 +1,142 @@
+"""Structured Streaming semantics tests: the streaming operators must
+produce exactly their batch twins' results when draining the full events
+replay with the availableNow trigger."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.operators.streaming_batch import (
+    stream_session_windows_batch,
+    stream_tumbling_window_batch,
+)
+from restaurant_etl_spark.streaming import (
+    dedup_within_watermark,
+    events_file_stream,
+    run_available_now,
+    session_agg,
+    stage_events_source,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, sf_dir, tmp_path_factory):
+    return stage_events_source(spark, sf_dir, str(tmp_path_factory.mktemp("events_src")))
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, src_dir):
+    run_available_now(tumbling_counts(events_file_stream(spark, src_dir)), "t_tumble", "complete")
+    live = spark.table("t_tumble")
+    batch = stream_tumbling_window_batch(spark, sf_dir)
+    cols = ["win_start", "event_type", "n_events", "total_value"]
+    assert _rows(live, *cols) == _rows(batch, *cols)
+
+
+def test_streaming_session_windows_equal_batch_sessionization(spark, sf_dir, src_dir):
+    """Native session_window must carve exactly the sessions the lag/cumsum
+    batch twin finds (same 30-minute gap)."""
+    run_available_now(session_agg(events_file_stream(spark, src_dir)), "t_sess", "complete")
+    live = spark.table("t_sess")
+    batch = stream_session_windows_batch(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert _rows(live, *cols) == _rows(batch, *cols)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, src_dir):
+    """dropDuplicatesWithinWatermark keeps exactly one event per
+    (user_id, event_type) when the whole replay fits one batch."""
+    run_available_now(
+        dedup_within_watermark(events_file_stream(spark, src_dir)), "t_dedup", "append"
+    )
+    live = spark.table("t_dedup")
+    batch_keys = (
+        spark.read.parquet(src_dir).select("user_id", "event_type").distinct()
+    )
+    assert live.count() == batch_keys.count()
+    assert _rows(live.select("user_id", "event_type").distinct(), "user_id", "event_type") == _rows(
+        batch_keys, "user_id", "event_type"
+    )
+
+
+def test_foreach_batch_parquet_sink(spark, src_dir, tmp_path):
+    """foreachBatch sink: stream → parquet roundtrip preserves every row."""
+    out = str(tmp_path / "sink")
+    stream = events_file_stream(spark, src_dir)
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == spark.read.parquet(src_dir).count()
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Watermark semantics: with append mode, a window only emits once the
+    watermark passes its end; rows older than the watermark horizon are
+    dropped from state. Two micro-batches: the second carries an event far
+    beyond the first batch's data, pushing the watermark past every old
+    window, plus one too-late event that must be ignored."""
+    src = str(tmp_path / "late_src")
+    schema = "ts timestamp, user_id bigint, value double"
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    write([(ts(1), 1, 1.0), (ts(2), 1, 2.0)], "b1")  # window [00:00, 00:10)
+
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    sink = str(tmp_path / "late_sink")
+
+    def to_sink(df, epoch_id):
+        df.write.mode("append").parquet(sink)
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+
+    # second run: an event 2h later advances the watermark to 01:50,
+    # finalizing (emitting) the [00:00, 00:10) window with n=2
+    write([(ts(120), 2, 9.0)], "b2")
+    run_once()
+
+    # third run: an event at 00:03 is now far behind the watermark → dropped
+    write([(ts(3), 1, 99.0)], "b3")
+    run_once()
+
+    emitted = {(r.win_start, r.n) for r in spark.read.parquet(sink).collect()}
+    # the [00:00, 00:10) window emits with n=2: the late (ts=3min) event
+    # arrived after the watermark passed the window end and was dropped
+    assert (t0, 2) in emitted
+    assert (t0, 3) not in emitted
