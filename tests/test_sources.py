@@ -1,0 +1,122 @@
+"""Tests for the binary source surface (S1-S6), multimodal column plumbing,
+and the CSV sink contract (S7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.schemas import OUTPUT_COLUMNS
+from restaurant_etl_spark.sources.binary import (
+    extract_binary_text,
+    read_binary_dir,
+    with_format,
+)
+from restaurant_etl_spark.sources.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from restaurant_etl_spark.sources.sinks import write_menu_csv
+
+MENU_TXT = "SNACKS\nSamosa ... $5.00\nTea $2.00\n"
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    (d / "menu_a.txt").write_text(MENU_TXT)
+    (d / "scan_b.pdf").write_bytes(b"%PDF-1.4 fake content for stub")
+    (d / "photo_c.JPG").write_bytes(b"\xff\xd8\xff fake jpeg bytes")
+    (d / "weird_d.xyz").write_bytes(b"????")
+    return str(d)
+
+
+def test_binary_scan_and_routing(spark, doc_dir):
+    df = with_format(read_binary_dir(spark, doc_dir))
+    got = {r["path"].split("/")[-1]: (r["format"], r["supported"]) for r in df.collect()}
+    assert got["menu_a.txt"] == ("txt", True)
+    assert got["scan_b.pdf"] == ("pdf", True)
+    assert got["photo_c.JPG"] == ("jpg", True)  # case-insensitive suffix (S1)
+    assert got["weird_d.xyz"] == ("xyz", False)
+
+
+def test_extraction_paths(spark, doc_dir):
+    df = extract_binary_text(with_format(read_binary_dir(spark, doc_dir)))
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    # native text path decodes exactly
+    txt = rows["menu_a.txt"]
+    assert txt["text"] == MENU_TXT and txt["success"] and txt["extraction_method"] == "native_text"
+    assert txt["char_count"] == len(MENU_TXT)
+    # stubbed pdf/image path: deterministic fake text, flagged method
+    pdf = rows["scan_b.pdf"]
+    # short stub text trips the S4 OCR-fallback threshold (<60 chars)
+    assert pdf["success"] and pdf["extraction_method"] in ("pdf_stub", "pdf_ocr_fallback")
+    assert "STUB pdf" in pdf["text"]
+    jpg = rows["photo_c.JPG"]
+    assert jpg["success"] and "STUB image" in jpg["text"]
+    # unsupported format → success=false with error (universal_extractor.py:26-48)
+    bad = rows["weird_d.xyz"]
+    assert not bad["success"] and bad["error"] == "Unsupported file format: .xyz"
+
+
+def test_extraction_is_deterministic(spark, doc_dir):
+    df = extract_binary_text(with_format(read_binary_dir(spark, doc_dir)))
+    a = sorted((r["path"], r["text"]) for r in df.collect())
+    b = sorted((r["path"], r["text"]) for r in df.collect())
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04" * 64, (32, 16, None, "raw")),
+        (2, "image", b"\xff\xee\xdd" * 100, (64, 64, None, "raw")),
+        (3, "video", b"\x00\x01" * 500, (None, None, 3000, "fakecodec")),
+        (4, "audio", b"\x7f\x80" * 200, (None, None, 2000, "pcm")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_shape_and_norm(media):
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4}
+    for r in feats.values():
+        assert len(r["features"]) == FEATURE_DIM
+        assert abs(sum(x * x for x in r["features"]) - 1.0) < 1e-5  # unit norm
+    assert feats[1]["n_bytes"] == 256
+
+
+def test_resize_only_images(media):
+    thumbs = resize_images(media).collect()
+    assert {r["media_id"] for r in thumbs} == {1, 2}
+    for r in thumbs:
+        assert isinstance(r["thumb"], (bytes, bytearray)) and len(r["thumb"]) > 0
+
+
+def test_frame_sampling_respects_duration(media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_id) == {3}  # only video rows
+    assert sorted(by_id[3]) == [0, 1, 2]  # 3000ms / 1000ms
+
+
+def test_csv_sink_contract(spark, tmp_path):
+    items = spark.createDataFrame(
+        [("Samosa", "Snacks", 5.0, "$5.00", "$")],
+        "item_name string, category string, price double, price_display string, currency string",
+    )
+    out = str(tmp_path / "csv_out")
+    write_menu_csv(items, out)
+    import glob
+
+    files = glob.glob(out + "/part-*.csv")
+    assert len(files) == 1  # single-file contract (process_menu.py:93)
+    header = open(files[0]).readline().strip().split(",")
+    assert header == OUTPUT_COLUMNS  # 13 columns, canonical order
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 1
