@@ -54,9 +54,11 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         menu,
         relational,
+        scalar_extra,
         similarity,
         streaming_batch,
         text_analysis,
+        udf_surface,
         windows_aggs,
     )
 
