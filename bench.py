@@ -63,6 +63,13 @@ def main() -> int:
     spark = get_spark("bench")
     specs = load_all()
 
+    # warmup: touch the big tables once so JVM/codegen/file-listing costs
+    # don't land on the first measured query
+    from restaurant_etl_spark.sources.tables import load_table
+
+    for t in ("lineitem", "orders", "documents", "events"):
+        load_table(spark, SF_DIR, t).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)

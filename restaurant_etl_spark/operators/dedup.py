@@ -43,13 +43,19 @@ def _toks(text: Column) -> Column:
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct 3-token shingles per document. Narrow."""
-    toks = _toks(F.col("text"))
+    """(doc_id, shingle): distinct 3-token shingles per document. Narrow.
+
+    The token array is materialized as its own (multi-referenced) projection
+    so Catalyst keeps it a column instead of inlining the regex split into
+    every lambda reference — inlined, the split re-evaluates per shingle
+    (~100x the work per row)."""
+    t = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     shingles = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return t.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -209,7 +215,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-dups. Candidate verification touches candidates' shingles
     only (semi-join pushes the pair filter into the inverted index)."""
     docs = _docs(spark, sf_dir)
-    sh = shingle_table(docs)
+    # the shingle table feeds four consumers (signatures, both verify sides,
+    # sizes) — persist it once instead of re-shingling per consumer
+    # (SURVEY §4 stage caching)
+    sh = shingle_table(docs).persist()
     sig = minhash_signatures(sh)
 
     band_cols = [
@@ -231,11 +240,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # verify candidates with exact Jaccard, touching only candidate docs
-    all_pairs = _exact_jaccard_pairs(sh, threshold=0.0)
-    return all_pairs.join(cand, ["doc_a", "doc_b"]).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    ).select("doc_a", "doc_b", "jaccard")
+    # verify candidates with exact Jaccard, touching only candidate PAIRS:
+    # cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle) — never the
+    # full inverted-index pair space
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -89,40 +89,62 @@ def parse_lines(lines: DataFrame) -> DataFrame:
     """(doc_id, line_no, line) → per-line classification + raw item array.
 
     Adds columns: __kind ('header'/'item'/'other'), __currency, __items.
-    """
-    is_header = F.col("line").rlike(HEADER_RE)
 
+    Heavy intermediates (stripped line, price tail, token/value arrays,
+    cleaned name) are staged as real multi-referenced columns: Catalyst's
+    CollapseProject keeps them materialized instead of inlining the regex
+    trees into every consumer, which would re-evaluate each regex per
+    reference (and per array element inside lambdas).
+    """
     stripped = F.trim(
         F.regexp_replace(F.regexp_replace(F.col("line"), SIZE_LABEL_RE, ""), HALF_LABEL_RE, "")
     )
+    s = lines.withColumn("__stripped", stripped)
 
-    tail = F.regexp_extract(stripped, PRICE_TAIL, 1)
-    range_lo = F.regexp_extract(stripped, PRICE_RANGE, 1)
-    is_mp = stripped.rlike(MP_RE)
     # "100-150" also matches PRICE_TAIL on its last token, so the range
     # branch must win whenever a dash immediately precedes the tail
-    is_range = range_lo != ""
-
-    toks = F.filter(F.transform(F.split(tail, "/"), F.trim), lambda x: x != "")
-    vals = F.transform(toks, lambda t: F.regexp_replace(t, r"[^0-9.]", "").cast("double"))
-    curs = F.filter(
-        F.transform(toks, lambda t: F.regexp_extract(t, r"^([$₹€£¥])", 1)), lambda c: c != ""
+    s = s.withColumns(
+        {
+            "__tail": F.regexp_extract("__stripped", PRICE_TAIL, 1),
+            "__range_lo": F.regexp_extract("__stripped", PRICE_RANGE, 1),
+            "__is_mp": F.col("__stripped").rlike(MP_RE),
+        }
     )
-    currency = F.when(F.size(curs) > 0, F.element_at(curs, 1))
+    s = s.withColumn(
+        "__toks", F.filter(F.transform(F.split("__tail", "/"), F.trim), lambda x: x != "")
+    )
+    s = s.withColumns(
+        {
+            "__vals": F.transform("__toks", lambda t: F.regexp_replace(t, r"[^0-9.]", "").cast("double")),
+            "__curs": F.filter(
+                F.transform("__toks", lambda t: F.regexp_extract(t, r"^([$₹€£¥])", 1)),
+                lambda c: c != "",
+            ),
+        }
+    )
+
+    tail = F.col("__tail")
+    range_lo = F.col("__range_lo")
+    is_mp = F.col("__is_mp")
+    is_range = range_lo != ""
+    vals = F.col("__vals")
 
     # name = line minus the matched price suffix, trailing filler trimmed
     name_base = F.when(
-        tail != "", F.substring(stripped, F.lit(1), F.length(stripped) - F.length(tail))
+        tail != "",
+        F.substring(F.col("__stripped"), F.lit(1), F.length("__stripped") - F.length(tail)),
     )
     raw_name = (
-        F.when(is_mp, F.regexp_replace(stripped, MP_RE, ""))
-        .when(is_range, F.regexp_replace(stripped, PRICE_RANGE, ""))
+        F.when(is_mp, F.regexp_replace("__stripped", MP_RE, ""))
+        .when(is_range, F.regexp_replace("__stripped", PRICE_RANGE, ""))
         .otherwise(name_base)
     )
-    name = F.regexp_replace(raw_name, r"[\s.\-:]+$", "")
-    name = F.regexp_replace(name, TAG_SUFFIX_RE, "")
+    name_expr = F.regexp_replace(F.regexp_replace(raw_name, r"[\s.\-:]+$", ""), TAG_SUFFIX_RE, "")
+    s = s.withColumn("__name", name_expr)
+    s = s.withColumn("__name_parts", F.transform(F.split("__name", "/"), F.trim))
 
-    name_parts = F.transform(F.split(name, "/"), F.trim)
+    name = F.col("__name")
+    name_parts = F.col("__name_parts")
     n_names = F.size(name_parts)
     n_prices = F.size(vals)
 
@@ -140,17 +162,25 @@ def parse_lines(lines: DataFrame) -> DataFrame:
         .otherwise(F.array().cast(ITEM_ARRAY_DDL))
     )
 
-    classified = (
-        lines.withColumn("__is_header", is_header)
-        .withColumn("__currency", currency)
-        .withColumn("__items", F.when(~is_header, items).otherwise(F.array().cast(ITEM_ARRAY_DDL)))
+    classified = s.withColumns(
+        {
+            "__is_header": F.col("line").rlike(HEADER_RE),
+            "__currency": F.when(F.size("__curs") > 0, F.element_at("__curs", 1)),
+        }
+    )
+    classified = classified.withColumn(
+        "__items",
+        F.when(~F.col("__is_header"), items).otherwise(F.array().cast(ITEM_ARRAY_DDL)),
     )
     kind = (
         F.when(F.col("__is_header"), "header")
         .when(F.size("__items") > 0, "item")
         .otherwise("other")
     )
-    return classified.withColumn("__kind", kind)
+    return classified.withColumn("__kind", kind).drop(
+        "__stripped", "__tail", "__range_lo", "__is_mp", "__toks", "__vals",
+        "__curs", "__name", "__name_parts",
+    )
 
 
 def assemble_items(lines: DataFrame, attach_descriptions: bool = True) -> DataFrame:

@@ -129,13 +129,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token length, and a keep/flag band — the pre-training corpus filter
     pattern. Narrow per-row ops only."""
     d = _docs(spark, sf_dir)
-    toks = _tokens(F.col("text"))
-    t = d.select(
+    # materialize the token array once (multi-referenced column → Catalyst
+    # won't inline the regex split into each consumer)
+    base = d.select("doc_id", "n_chars", _tokens(F.col("text")).alias("toks"))
+    t = base.select(
         "doc_id",
         F.col("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).alias("n_stop"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.filter("toks", lambda x: x.isin(STOPWORDS))).alias("n_stop"),
     )
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     ttr = F.col("n_distinct") / F.col("n_tokens")
@@ -186,12 +188,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthetic corpus reuses English-ish text under every label, so the
     oracle checks the deterministic computation, not label accuracy."""
     d = _docs(spark, sf_dir)
-    toks = _tokens(F.col("text"))
-    s = d.select(
+    base = d.select("doc_id", "lang", "text", _tokens(F.col("text")).alias("toks"))
+    s = base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.round(
-            F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / F.size(toks), 4
+            F.size(F.filter("toks", lambda x: x.isin(STOPWORDS))) / F.size("toks"), 4
         ).alias("en_score"),
         F.col("text").rlike(r"[^\x00-\x7F]").alias("non_ascii"),
     )
@@ -283,8 +285,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigrams via index-aware array transform → explode → count.
     The n-gram construction is per-row (narrow); only the count shuffles."""
-    d = _docs(spark, sf_dir)
-    toks = _tokens(F.col("text"))
+    d = _docs(spark, sf_dir).select(_tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     bigrams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
@@ -326,8 +328,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-token shingles (the MinHash primitive with one hash function), and a
     bag-of-words vocabulary hash. All per-row — zero shuffles; md5 gives
     engine-independent determinism for the oracle."""
-    d = _docs(spark, sf_dir)
-    toks = _tokens(F.col("text"))
+    d = _docs(spark, sf_dir).select("doc_id", "text", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     shingles = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda x, i: F.md5(
