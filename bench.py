@@ -46,6 +46,10 @@ HEADLINE = [
     # menu domain pipeline
     "menu_parse_items",
     "menu_category_summary",
+    # TPC-H additions & rollup cascade
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "hypertable_rollup_cascade",
     # extension surface (registered in later milestones)
     "dedup_exact_documents",
     "dedup_minhash_lsh",

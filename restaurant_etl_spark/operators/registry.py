@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming_batch,
         text_analysis,
+        tpch_more,
         udf_surface,
         windows_aggs,
     )
