@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         menu,
         relational,
+        reshape_extra,
         scalar_extra,
         similarity,
         streaming_batch,

@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions: the scale contract, checked mechanically.
+
+These tests pin the properties that make the engine viable at 100 TB —
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, top-k never full-sorts, salting avoids nested-loop fallbacks —
+so a regression in plan shape fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from restaurant_etl_spark.operators.registry import load_all
+
+SPECS = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_q6_column_pruning_and_codegen(spark, sf_dir):
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scan must read only the 4 referenced columns, not the 11-column table
+    scan_line = next(l for l in plan.split("\n") if "FileScan parquet" in l)
+    proj = scan_line.split("[", 1)[1].split("]", 1)[0]
+    assert "l_extendedprice" in proj and "l_returnflag" not in proj
+    # codegen spans appear once AQE finalizes — execute, then re-read
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" prefixes mark whole-stage-codegen spans in the final plan
+    assert "isFinalPlan=true" in final and "*(1)" in final
+
+
+def test_q5_broadcasts_bounded_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a limit-20
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_salted_join_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_band_join_broadcasts_tiny_side(spark, sf_dir):
+    # non-equi join against the 3-row band table must broadcast, not shuffle
+    plan = _plan(spark, sf_dir, "join_range_bands")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_cosine_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_menu_parser_single_window_shuffle(spark, sf_dir):
+    """The rule parser must stay narrow + one window partitioning on doc_id
+    (plus the small description-agg exchange) — no joins that explode."""
+    plan = _plan(spark, sf_dir, "menu_parse_items")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan  # df side (vocabulary) broadcast
