@@ -254,3 +254,49 @@ def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "item_name", "price_display", "primary_price",
         "currency", "spice_level", "dietary_tags",
     )
+
+
+@register(
+    "menu_extraction_confidence",
+    oracle="""
+    SELECT p_partkey AS doc_id,
+           1 AS n_total,
+           CASE WHEN p_partkey % 8 = 4 THEN 0 ELSE 1 END AS n_valid,
+           CAST(CASE WHEN p_partkey % 8 = 4 THEN 0 ELSE 1 END AS DOUBLE) AS confidence
+    FROM part
+    """,
+    category="menu",
+)
+def menu_extraction_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-document extraction confidence = valid / max(1, total)
+    (llm_parser.py:111): counts taken BEFORE and AFTER the validity filter,
+    joined on doc_id (SURVEY §7.4 — not an accumulator).
+
+    Docs where p_partkey % 8 == 4 get an out-of-range price ($200000.25 >
+    PRICE_MAX), so the parsed record exists pre-filter but the whole record
+    is rejected by F4/P2 — confidence drops to 0 for exactly those docs."""
+    from restaurant_etl_spark.operators.llm_parse import extraction_confidence
+    from restaurant_etl_spark.operators.menu_parser import (
+        assemble_items,
+        finalize_items,
+        split_lines,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    bad = F.col("p_partkey") % 8 == 4
+    b = F.floor("p_retailprice").cast("double")
+    text = F.when(bad, F.concat("p_name", F.lit(" $200000.25"))).otherwise(
+        F.concat("p_name", F.lit(" $"), _fmt(b + 0.25))
+    )
+    docs = p.select(F.col("p_partkey").alias("doc_id"), text.alias("text"))
+
+    lines = split_lines(docs)
+    raw_items = assemble_items(lines, attach_descriptions=False)
+    valid_items = finalize_items(raw_items)
+    out = extraction_confidence(raw_items, valid_items)
+    return out.select(
+        "doc_id",
+        F.col("n_total").cast("int").alias("n_total"),
+        F.col("n_valid").cast("int").alias("n_valid"),
+        "confidence",
+    )

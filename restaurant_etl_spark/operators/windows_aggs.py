@@ -643,3 +643,43 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("P"),
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    category="relational",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): duplicate keys survive up to the
+    minimum multiplicity on either side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+    category="relational",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each F-status occurrence cancels one
+    O-status occurrence of the same customer key."""
+    a = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b)

@@ -140,3 +140,47 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # arrived after the watermark passed the window end and was dropped
     assert (t0, 2) in emitted
     assert (t0, 3) not in emitted
+
+
+def test_stateful_running_totals_across_restarts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state in the checkpoint: after
+    replaying the events in two separate runs (second half arrives after a
+    restart), the latest emitted totals equal the full batch aggregate."""
+    from restaurant_etl_spark.streaming.jobs import running_user_totals
+
+    events = spark.read.parquet(
+        stage_events_source(spark, sf_dir, str(tmp_path / "all_events"))
+    )
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    half2.write.mode("append").parquet(src)
+    run_once()  # restart: state recovered from checkpoint
+
+    out = spark.read.parquet(sink)
+    # latest emission per user = cumulative over both halves
+    latest = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, expected.collect()))
