@@ -129,16 +129,26 @@ def menu_category_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram, A2 priced count, A3 min/max/avg) over multi-line menu docs
     with ALL-CAPS section headers — exercises the rule-2 category window.
 
-    One doc per p_type: header line + one priced item line per part."""
+    One doc per (p_type, 500-part bucket): header line + one priced item
+    line per part. Bucketing bounds document size (≤500 lines) so the
+    collect_list rows and the per-doc window stay O(1) at any scale factor
+    — a single doc per type would grow linearly with the corpus."""
     p = _t(spark, sf_dir, "part")
     line = F.concat("p_name", F.lit(" $"), _fmt(F.floor("p_retailprice").cast("double") + 0.25))
     docs = (
-        p.select("p_type", F.struct("p_partkey", line.alias("line")).alias("s"))
-        .groupBy("p_type")
+        p.select(
+            "p_type",
+            (F.col("p_partkey") / 500).cast("bigint").alias("bucket"),
+            F.struct("p_partkey", line.alias("line")).alias("s"),
+        )
+        .groupBy("p_type", "bucket")
         .agg(
             F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda s: s["line"]), "\n").alias("body")
         )
-        .select(F.col("p_type").alias("doc_id"), F.concat(F.upper("p_type"), F.lit("\n"), "body").alias("text"))
+        .select(
+            F.concat("p_type", F.lit("_"), "bucket").alias("doc_id"),
+            F.concat(F.upper("p_type"), F.lit("\n"), "body").alias("text"),
+        )
     )
     items = parse_menu_documents(docs, attach_descriptions=False)
     return items.groupBy("category").agg(

@@ -245,3 +245,140 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", F.col("c_label").alias("nearest_centroid"), "cos")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_DOT.format(a='a.v', b='b.v')}
+                 / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_DOT.format(a='a.v', b='b.v')}
+          / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}) >= 0.3
+    """,
+    category="dedup",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (threshold 0.3 on this corpus; semantic-dedup uses ~0.95 on real
+    embeddings). This is the ground-truth path; similarity_lsh_candidates
+    is the bucketed scale path that avoids the quadratic comparison."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(_dvec("va"), _dvec("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"), cos.alias("__raw"))
+        .filter(F.col("__raw") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    ex AS (
+        SELECT label, unnest(range(1, {DIM + 1})) AS i,
+               unnest(list_transform(v, x -> x::DOUBLE)) AS x
+        FROM e
+    ),
+    dims AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY label, i),
+    cent AS (SELECT label AS c_label, list(round(c, 6) ORDER BY i) AS cv FROM dims GROUP BY label),
+    assign AS (
+        SELECT vec_id, c_label FROM (
+            SELECT e.vec_id, c.c_label,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round({_DUCK_DOT.format(a='e.v', b='c.cv')}
+                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       c.c_label) AS rn
+            FROM e CROSS JOIN cent c) t
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT q_id, qv, c_label FROM (
+            SELECT q.q_id, q.qv, c.c_label,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       round({_DUCK_DOT.format(a='q.qv', b='c.cv')}
+                             / ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       c.c_label) AS rn
+            FROM q CROSS JOIN cent c) t
+        WHERE rn <= 3
+    ),
+    scored AS (
+        SELECT p.q_id, e.vec_id,
+               round({_DUCK_DOT.format(a='p.qv', b='e.v')}
+                     / ({_DUCK_NORM.format(a='p.qv')} * {_DUCK_NORM.format(a='e.v')}), 4) AS cos
+        FROM probes p
+        JOIN assign a ON a.c_label = p.c_label
+        JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors assigned to their nearest label
+    centroid (the inverted file), queries probe the nprobe=3 nearest
+    centroids and rank exactly within those cells only. At 100 TB the
+    scan per query drops to nprobe/ncells of the corpus; centroids are a
+    broadcast table. Deterministic (rounded centroids, tiebroken ranks)
+    so the full pipeline is oracle-checked."""
+    e = _emb(spark, sf_dir).select("vec_id", "label", F.col("embedding").alias("v"))
+
+    dims = (
+        e.select("label", F.posexplode(_dvec("v")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+
+    # inverted file: every corpus vector → nearest centroid
+    scored_assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "c_label",
+        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
+    assign = (
+        scored_assign.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("v").alias("cv_v"), "c_label")
+    )
+
+    # queries probe their 3 nearest centroids
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    q_scored = q.crossJoin(F.broadcast(cent)).select(
+        "q_id", "qv", "c_label",
+        F.round(cosine(_dvec("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_label")
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "qv", "c_label")
+    )
+
+    # exact rank within probed cells only
+    scored = (
+        probes.join(assign, "c_label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(cosine(_dvec("qv"), _dvec("cv_v")), 4).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.select("q_id", "vec_id", "cos", F.row_number().over(w_rank).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
