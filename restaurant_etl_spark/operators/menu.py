@@ -310,3 +310,81 @@ def menu_extraction_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_valid").cast("int").alias("n_valid"),
         "confidence",
     )
+
+
+@register(
+    "menu_batch_status_rollup",
+    oracle="""
+    SELECT 'native_text' AS extraction_method, TRUE AS success,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM part WHERE p_partkey < 100
+    UNION ALL
+    SELECT 'unsupported', FALSE, 1, 0
+    """,
+    category="menu",
+)
+def menu_batch_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — batch status rollup (process_menu.py:136-164): per-file
+    {status, items} accumulated as a groupBy over the extraction+parse
+    results instead of a driver loop. Every staged single-line doc parses
+    to exactly one item (half/full and size triples are ONE item with
+    multiple price columns); a planted unsupported file exercises the
+    failure row."""
+    import os as _os
+    import tempfile as _tf
+
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+
+    # reuse the staged dir from menu_pipeline_files, plus one bad file
+    stage = _os.path.join(
+        _tf.gettempdir(), f"menu_files_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    marker = _os.path.join(stage, "_STAGED")
+    if not _os.path.exists(marker):
+        _os.makedirs(stage, exist_ok=True)
+        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100))
+        for r in docs.collect():
+            with open(_os.path.join(stage, f"{r['doc_id']}.txt"), "w") as fh:
+                fh.write(r["text"])
+        open(marker, "w").close()
+    bad = _os.path.join(stage, "broken_0.xyz")
+    if not _os.path.exists(bad):
+        with open(bad, "wb") as fh:
+            fh.write(b"????")
+
+    raw = with_format(read_binary_dir(spark, stage, glob="*.{txt,xyz}"))
+    extracted = extract_binary_text(raw)
+    ok_docs = extracted.filter(F.col("success")).select(
+        F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        "text",
+        "path",
+        "extraction_method",
+    )
+    items = parse_menu_documents(ok_docs.select("doc_id", "text"))
+    per_doc = items.groupBy("doc_id").agg(F.count("*").alias("n_items"))
+    ok_rollup = (
+        ok_docs.join(per_doc, "doc_id", "left")
+        .groupBy("extraction_method")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.coalesce("n_items", F.lit(0))).alias("n_items"),
+        )
+        .select("extraction_method", F.lit(True).alias("success"), "n_files", "n_items")
+    )
+    fail_rollup = (
+        extracted.filter(~F.col("success"))
+        .groupBy("extraction_method")
+        .agg(F.count("*").alias("n_files"))
+        .select(
+            "extraction_method",
+            F.lit(False).alias("success"),
+            "n_files",
+            F.lit(0).cast("bigint").alias("n_items"),
+        )
+    )
+    return ok_rollup.unionByName(fail_rollup)

@@ -170,3 +170,45 @@ def stream_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "tumbling_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
     run_available_now(tumbling_counts(events_file_stream(spark, src)), table, "complete")
     return spark.table(table)
+
+
+@register(
+    "stream_session_windows_live",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN} * 60000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, session_no
+    """,
+    category="streaming",
+)
+def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming session windows oracle-checked: native
+    ``session_window`` (30-minute gap) over the file-stream replay must
+    carve exactly the sessions the lag/cumsum batch formulation defines."""
+    import os as _os
+
+    from restaurant_etl_spark.streaming import (
+        events_file_stream,
+        run_available_now,
+        session_agg,
+        stage_events_source,
+    )
+
+    src = stage_events_source(spark, sf_dir)
+    table = "session_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(session_agg(events_file_stream(spark, src)), table, "complete")
+    return spark.table(table).select("user_id", "session_start", "n_events", "total_value")
