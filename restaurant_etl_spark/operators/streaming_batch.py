@@ -212,3 +212,32 @@ def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "session_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
     run_available_now(session_agg(events_file_stream(spark, src)), table, "complete")
     return spark.table(table).select("user_id", "session_start", "n_events", "total_value")
+
+
+@register(
+    "stream_sliding_window_live",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000 - off * 1000000) AS win_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (300)) k(off)
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming sliding windows (10m length / 5m slide)
+    oracle-checked via the availableNow drain."""
+    import os as _os
+
+    from restaurant_etl_spark.streaming import (
+        events_file_stream,
+        run_available_now,
+        sliding_counts,
+        stage_events_source,
+    )
+
+    src = stage_events_source(spark, sf_dir)
+    table = "sliding_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(sliding_counts(events_file_stream(spark, src)), table, "complete")
+    return spark.table(table)

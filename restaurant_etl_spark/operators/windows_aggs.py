@@ -683,3 +683,31 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k")
     )
     return a.exceptAll(b)
+
+
+@register(
+    "agg_statistical_battery",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)               AS qty_stddev,
+           round(var_samp(l_quantity), 4)                  AS qty_var,
+           round(stddev_pop(l_discount), 6)                AS disc_stddev_pop,
+           round(corr(l_quantity, l_extendedprice), 6)     AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6)    AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="relational",
+)
+def agg_statistical_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample/population stddev and variance,
+    correlation, covariance — single-pass merge-able sketches (Welford),
+    the profiling primitives for 100 TB data-quality scans."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("disc_stddev_pop"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )

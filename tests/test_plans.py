@@ -85,3 +85,28 @@ def test_menu_parser_single_window_shuffle(spark, sf_dir):
 def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
     assert "BroadcastHashJoin" in plan  # df side (vocabulary) broadcast
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet: a filter on the partition column must
+    prune at planning time (PartitionFilters), reading only matching
+    directories — the layout that makes 100 TB scans selective."""
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.split("\n") if "FileScan parquet" in l)
+    assert "PartitionFilters: [" in scan_line
+    assert "event_type" in scan_line.split("PartitionFilters:")[1].split("]")[0]
+    # and the counts stay right
+    expected = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert df.count() == expected
