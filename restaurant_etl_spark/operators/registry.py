@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     # imports are side-effectful (decorators populate REGISTRY)
     from restaurant_etl_spark.operators import (  # noqa: F401
         dedup,
+        io_formats,
         menu,
         relational,
         reshape_extra,

@@ -711,3 +711,86 @@ def agg_statistical_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
     )
+
+
+@register(
+    "window_pct_rank_ntile_nth",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 6)        AS pct_rank,
+           round(cume_dist() OVER w, 6)           AS cume,
+           round(nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    category="relational",
+)
+def window_pct_rank_ntile_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value — the remaining ranking
+    analytics over a deterministic total order."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_bal"),
+    )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+               CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+        FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           coalesce(d.v, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    category="relational",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user daily date spine (sequence +
+    explode between min/max day) left-joined to daily aggregates, zeros for
+    missing days — the densification primitive for downstream window math.
+    The spine is generated per key (narrow after one bounds agg), never a
+    global calendar cross join."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+    )
