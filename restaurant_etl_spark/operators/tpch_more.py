@@ -302,3 +302,40 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
     )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           (SELECT round(max(o_totalprice), 2) FROM orders
+            WHERE o_custkey = c_custkey) AS max_order
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    category="relational",
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL API — Catalyst
+    decorrelates it into a left outer aggregate join (no per-row
+    re-execution, unlike the naive nested-loop semantics)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT round(max(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE c_custkey % 10 = 0
+        """
+    )
+
+
+@register("agg_freq_items_sketch", oracle=None, category="relational")
+def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (freqItems, single-pass Karp-style counting) —
+    the 100 TB path for approximate top-k without a full groupBy; results
+    are sketch-dependent so rows-only."""
+    o = _t(spark, sf_dir, "orders")
+    return o.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
