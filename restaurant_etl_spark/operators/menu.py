@@ -76,6 +76,7 @@ def _part_menu_docs(p: DataFrame) -> DataFrame:
     SELECT doc_id,
            name AS item_name,
            CAST(NULL AS VARCHAR) AS category,
+           CAST(NULL AS VARCHAR) AS subcategory,
            CAST(NULL AS VARCHAR) AS description,
            CASE mode
              WHEN 0 THEN '$' || printf('%.2f', b + 0.25)
@@ -388,3 +389,64 @@ def menu_batch_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok_rollup.unionByName(fail_rollup)
+
+
+@register(
+    "menu_parse_subcategories",
+    oracle="""
+    SELECT p_partkey AS doc_id,
+           p_name AS item_name,
+           upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS category,
+           CASE WHEN p_partkey % 2 = 0 THEN 'Starters' ELSE 'Mains' END AS subcategory,
+           floor(p_retailprice) + 0.25 AS primary_price
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+    category="menu",
+)
+def menu_parse_subcategories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BetterVersion subcategory extension (prompt_template.py:94-148):
+    colon-terminated sub-header lines propagate a subcategory that resets
+    at each ALL-CAPS section header. Docs here carry a header, a
+    subheader ('Starters:'/'Mains:'), and one item line."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    b = F.floor("p_retailprice").cast("double")
+    sub = F.when(F.col("p_partkey") % 2 == 0, "Starters:").otherwise("Mains:")
+    text = F.concat(
+        F.upper("p_type"), F.lit("\n"), sub, F.lit("\n"),
+        "p_name", F.lit(" $"), _fmt(b + 0.25),
+    )
+    docs = p.select(F.col("p_partkey").alias("doc_id"), text.alias("text"))
+    items = parse_menu_documents(docs, attach_descriptions=False)
+    return items.select("doc_id", "item_name", "category", "subcategory", "primary_price")
+
+
+@register(
+    "menu_document_metadata",
+    oracle="""
+    SELECT p_partkey AS doc_id,
+           1 AS total_items,
+           CAST(1 AS BIGINT) AS n_priced,
+           CASE WHEN p_partkey % 4 = 2 THEN TRUE ELSE FALSE END AS has_size_variants,
+           CASE WHEN p_partkey % 4 = 1 THEN TRUE ELSE FALSE END AS has_half_full,
+           '$' AS detected_currency
+    FROM part
+    """,
+    category="menu",
+)
+def menu_document_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BetterVersion extraction_metadata (prompt_template.py:100-148):
+    per-document counts, price-pattern flags, detected currency — one
+    doc_id aggregation over the finalized items."""
+    from restaurant_etl_spark.operators.menu_parser import document_metadata
+
+    docs = _part_menu_docs(_t(spark, sf_dir, "part"))
+    items = parse_menu_documents(docs, attach_descriptions=False)
+    meta = document_metadata(items)
+    return meta.select(
+        "doc_id",
+        F.col("total_items").cast("int").alias("total_items"),
+        "n_priced",
+        "has_size_variants",
+        "has_half_full",
+        "detected_currency",
+    )

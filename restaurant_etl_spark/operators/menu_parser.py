@@ -45,6 +45,9 @@ PRICE_TAIL = rf"((?:{PRICE_TOKEN}\s*/\s*)*{PRICE_TOKEN})\s*$"
 PRICE_RANGE = r"(\d+(?:\.\d{1,2})?)\s*-\s*(\d+(?:\.\d{1,2})?)\s*$"
 #: header heuristic (rule 2): ALL CAPS, no digits, ≥3 chars
 HEADER_RE = r"^[A-Z][A-Z &'\-]{2,}$"
+#: sub-header heuristic (BetterVersion rule 6, prompt_template.py:100-148):
+#: a short titled line ending with a colon, not ALL-CAPS, no prices
+SUBHEADER_RE = r"^[A-Za-z][A-Za-z &'\-]{2,}:$"
 MP_RE = r"(?i)(market\s*price|\bM\.?P\.?)\s*$"
 SIZE_LABEL_RE = r"(?i)\(\s*small\s*/\s*medium\s*/\s*large\s*\)"
 HALF_LABEL_RE = r"(?i)\(\s*half\s*/\s*full\s*\)"
@@ -165,6 +168,9 @@ def parse_lines(lines: DataFrame) -> DataFrame:
     classified = s.withColumns(
         {
             "__is_header": F.col("line").rlike(HEADER_RE),
+            "__is_subheader": ~F.col("line").rlike(HEADER_RE)
+            & F.col("__stripped").rlike(SUBHEADER_RE)
+            & (F.col("__tail") == ""),
             "__currency": F.when(F.size("__curs") > 0, F.element_at("__curs", 1)),
         }
     )
@@ -174,6 +180,7 @@ def parse_lines(lines: DataFrame) -> DataFrame:
     )
     kind = (
         F.when(F.col("__is_header"), "header")
+        .when(F.col("__is_subheader"), "subheader")
         .when(F.size("__items") > 0, "item")
         .otherwise("other")
     )
@@ -190,23 +197,50 @@ def assemble_items(lines: DataFrame, attach_descriptions: bool = True) -> DataFr
     parsed = parse_lines(lines)
 
     w = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
-    with_cat = parsed.withColumn(
-        "category",
-        F.last(F.when(F.col("__kind") == "header", F.initcap(F.lower(F.col("line")))), ignorenulls=True).over(w),
-    ).withColumn(
-        "__anchor",
-        F.last(F.when(F.col("__kind") == "item", F.col("line_no")), ignorenulls=True).over(w),
+    with_cat = (
+        parsed.withColumn(
+            "category",
+            F.last(F.when(F.col("__kind") == "header", F.initcap(F.lower(F.col("line")))), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "__cat_line",
+            F.last(F.when(F.col("__kind") == "header", F.col("line_no")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "__sub_line",
+            F.last(F.when(F.col("__kind") == "subheader", F.col("line_no")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "__sub_val",
+            F.last(
+                F.when(
+                    F.col("__kind") == "subheader",
+                    F.initcap(F.lower(F.regexp_replace(F.col("line"), r":\s*$", ""))),
+                ),
+                ignorenulls=True,
+            ).over(w),
+        )
+        # a subheader only applies under the category header it follows
+        # (BetterVersion: subcategories reset at each new section)
+        .withColumn(
+            "subcategory",
+            F.when(F.col("__sub_line") > F.coalesce(F.col("__cat_line"), F.lit(-1)), F.col("__sub_val")),
+        )
+        .withColumn(
+            "__anchor",
+            F.last(F.when(F.col("__kind") == "item", F.col("line_no")), ignorenulls=True).over(w),
+        )
     )
 
     items = (
         with_cat.filter(F.col("__kind") == "item")
         .select(
-            "doc_id", "line_no", "category", "line",
+            "doc_id", "line_no", "category", "subcategory", "line",
             F.col("__currency").alias("currency_symbol"),
             F.posexplode("__items").alias("variant_idx", "it"),
         )
         .select(
-            "doc_id", "line_no", "category", "line", "currency_symbol", "variant_idx",
+            "doc_id", "line_no", "category", "subcategory", "line", "currency_symbol", "variant_idx",
             *[F.col(f"it.{f}").alias(f) for f in _ITEM_FIELDS],
         )
     )
@@ -261,6 +295,7 @@ def finalize_items(items: DataFrame, currency_default: str = "$",
         "doc_id",
         "item_name",
         "category",
+        "subcategory",
         "description",
         disp.alias("price_display"),
         "price",
@@ -288,3 +323,19 @@ def parse_menu_documents(docs: DataFrame, doc_id: str = "doc_id", text: str = "t
     lines = split_lines(docs, doc_id, text)
     items = assemble_items(lines, attach_descriptions)
     return finalize_items(items, currency_default)
+
+
+def document_metadata(items: DataFrame) -> DataFrame:
+    """BetterVersion document-level extraction_metadata
+    (BetterVersion/prompt_template.py:100-148): per-doc counts, category
+    lists, price-pattern flags, detected currency — one aggregation on
+    doc_id over the finalized item table."""
+    return items.groupBy("doc_id").agg(
+        F.count("*").alias("total_items"),
+        F.count(F.when(F.col("primary_price").isNotNull(), 1)).alias("n_priced"),
+        F.array_sort(F.array_distinct(F.collect_list("category"))).alias("categories"),
+        F.array_sort(F.array_distinct(F.collect_list("subcategory"))).alias("subcategories"),
+        F.max(F.col("small_price").isNotNull()).alias("has_size_variants"),
+        F.max(F.col("half_plate_price").isNotNull()).alias("has_half_full"),
+        F.min("currency").alias("detected_currency"),
+    )

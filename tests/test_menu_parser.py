@@ -149,3 +149,38 @@ def test_parser_plan_is_window_based_no_cartesian(spark):
     docs = spark.createDataFrame([(i, MENU) for i in range(10)], "doc_id int, text string")
     plan = parse_menu_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+SUBMENU = """APPETIZERS
+Cold Starters:
+Papdi Chaat $6.00
+Hot Starters:
+Samosa $5.00
+MAIN COURSE
+Butter Chicken $15.00
+Curries:
+Dal Tadka $11.00
+"""
+
+
+def test_subcategory_propagates_and_resets(spark):
+    items = _parse(spark, SUBMENU)
+    assert items["Papdi Chaat"]["subcategory"] == "Cold Starters"
+    assert items["Samosa"]["subcategory"] == "Hot Starters"
+    # new ALL-CAPS header resets the subcategory
+    assert items["Butter Chicken"]["category"] == "Main Course"
+    assert items["Butter Chicken"]["subcategory"] is None
+    assert items["Dal Tadka"]["subcategory"] == "Curries"
+
+
+def test_document_metadata_struct(spark):
+    from restaurant_etl_spark.operators.menu_parser import document_metadata
+
+    docs = spark.createDataFrame([(1, SUBMENU)], "doc_id int, text string")
+    items = parse_menu_documents(docs)
+    meta = document_metadata(items).collect()[0]
+    assert meta["total_items"] == 4 and meta["n_priced"] == 4
+    assert meta["categories"] == ["Appetizers", "Main Course"]
+    assert meta["subcategories"] == ["Cold Starters", "Curries", "Hot Starters"]
+    assert not meta["has_size_variants"] and not meta["has_half_full"]
+    assert meta["detected_currency"] == "$"
