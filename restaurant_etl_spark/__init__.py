@@ -11,7 +11,9 @@ Layout:
     operators/    query/operator library: relational surface, menu parser,
                   validation, summaries, dedup, similarity.
     streaming/    Structured Streaming windows / watermark / dedup helpers.
-    plans/        plan-inspection helpers (pushdown/broadcast assertions).
+
+Physical-plan assertions (pushdown/broadcast/codegen) live in
+tests/test_plans.py; the coverage map is COVERAGE.md.
 """
 
 __version__ = "0.1.0"
