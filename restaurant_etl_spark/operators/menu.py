@@ -450,3 +450,32 @@ def menu_document_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_half_full",
         "detected_currency",
     )
+
+
+@register(
+    "menu_preview_head",
+    oracle="""
+    SELECT p_name AS item_name,
+           CAST(NULL AS VARCHAR) AS category,
+           '$' || printf('%.2f', floor(p_retailprice) + 0.25) AS price_display
+    FROM part
+    WHERE p_partkey % 4 = 0
+    ORDER BY p_partkey
+    LIMIT 15
+    """,
+    category="menu",
+)
+def menu_preview_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — the reference's result preview: first 15 items, 3 projected
+    columns (process_menu.py:105-107), deterministic via the doc_id sort
+    (L2, dagster_project/assets/menu_assets.py:32). Compiles to
+    TakeOrderedAndProject — no global sort."""
+    docs = _part_menu_docs(
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    )
+    items = parse_menu_documents(docs, attach_descriptions=False)
+    return (
+        items.orderBy("doc_id")
+        .select("item_name", "category", "price_display")
+        .limit(15)
+    )
