@@ -145,23 +145,70 @@ def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s, allowMissingColumns=True)
 
 
-@register("sample_bernoulli_seeded", oracle=None, category="relational")
+@register(
+    "sample_bernoulli_seeded",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substring(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                       CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'
+    """,
+    category="relational",
+)
 def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed — deterministic within Spark but
-    engine-specific RNG, so rows-only. At 100 TB this is the first step of
-    every profiling/sketching pass (sample → estimate → plan)."""
+    """Deterministic ~10% Bernoulli sample via a content hash instead of a
+    seeded RNG: keep rows whose md5(key) starts below 0x1a (26/256 = 10.2%).
+    Unlike .sample(seed=), the hash filter is replayable on any engine and
+    stable under repartitioning — the property that matters when a 100 TB
+    profiling pass must be reproducible across reruns and engines."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    return l.filter(bucket < "1a").select("l_orderkey", "l_linenumber", "l_quantity")
 
 
-@register("agg_approx_percentile", oracle=None, category="relational")
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS median_in_bounds,
+           TRUE AS p99_in_bounds
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="relational",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch) next to the exact value —
-    the 100 TB path for quantiles (single pass, bounded memory, no full
-    sort). Rows-only: sketch results are engine-specific."""
+    """approx_percentile (KLL/GK-style sketch) — the 100 TB path for
+    quantiles (single pass, bounded memory, no full sort). Sketch values are
+    engine-specific, so the oracle check asserts the sketch lands inside
+    exact-percentile bounds computed in the same job: approx p50 within
+    exact [p45, p55], approx p99 within [p98.5, max]. The oracle emits the
+    group keys, counts, and literal TRUE flags — any sketch drift outside
+    bounds hash-mismatches."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", 0.5, 1000), 2).alias("approx_median"),
-        F.round(F.median("o_totalprice"), 2).alias("exact_median"),
-        F.round(F.percentile_approx("o_totalprice", 0.99, 1000), 2).alias("approx_p99"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("am"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("lo50"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("hi50"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("a99"),
+        F.expr("percentile(o_totalprice, 0.985)").alias("lo99"),
+        F.max("o_totalprice").alias("hi99"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("am").between(F.col("lo50"), F.col("hi50")).alias("median_in_bounds"),
+        F.col("a99").between(F.col("lo99"), F.col("hi99")).alias("p99_in_bounds"),
     )

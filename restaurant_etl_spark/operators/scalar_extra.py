@@ -32,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            list_contains(lines, 3)                  AS has_line3,
            array_to_string(lines, ',')              AS lines_csv,
            CAST(len(list_sort(flags)) AS INTEGER)   AS n_flags,
-           list_sort(flags)                         AS flags_sorted,
+           array_to_string(list_sort(flags), ',')   AS flags_sorted,
            list_reverse_sort(lines)[1]              AS max_line
     FROM a
     WHERE l_orderkey % 50 = 0
@@ -57,7 +57,10 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("lines", 3).alias("has_line3"),
         F.array_join("lines", ",").alias("lines_csv"),
         F.size("flags").alias("n_flags"),
-        F.array_sort("flags").alias("flags_sorted"),
+        # Serialized (not array-typed): the external driver's pandas
+        # canonicalizer hashes row values and cannot hash Python lists, so
+        # every registered query must emit scalar-typed output columns only.
+        F.array_join(F.array_sort("flags"), ",").alias("flags_sorted"),
         F.element_at(F.reverse(F.array_sort("lines")), 1).alias("max_line"),
     )
 

@@ -336,6 +336,15 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch (freqItems, single-pass Karp-style counting) —
     the 100 TB path for approximate top-k without a full groupBy; results
-    are sketch-dependent so rows-only."""
+    are sketch-dependent so rows-only. Array outputs are serialized to
+    sorted CSV strings — the driver's canonicalizer cannot hash lists."""
     o = _t(spark, sf_dir, "orders")
-    return o.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    fi = o.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    return fi.select(
+        F.array_join(F.array_sort("o_orderpriority_freqItems"), ",").alias(
+            "priority_freq_csv"
+        ),
+        F.array_join(F.array_sort("o_orderstatus_freqItems"), ",").alias(
+            "status_freq_csv"
+        ),
+    )
