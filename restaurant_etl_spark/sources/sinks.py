@@ -8,10 +8,45 @@ stay parallel). Parquet is the scale-path sink: partitioned, parallel.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from restaurant_etl_spark.schemas import OUTPUT_COLUMNS
+
+
+def timestamped_output_path(
+    output_dir: str, stem: str, timestamp: str | None = None
+) -> str:
+    """F11 — timestamped output filename, ``{stem}_extracted_{ts}.csv``
+    (process_menu.py:91-92: ``datetime.now().strftime('%Y%m%d_%H%M%S')``).
+
+    The timestamp is resolved ONCE on the driver (equivalent to
+    ``date_format(current_timestamp(), 'yyyyMMdd_HHmmss')``, which Catalyst
+    also folds to a single per-query value) — never per-task, which would
+    fan one logical output into several differently-named files on a real
+    cluster. UTC-pinned; injectable ``timestamp`` keeps tests
+    deterministic."""
+    if timestamp is None:
+        from datetime import datetime, timezone
+
+        timestamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    return os.path.join(output_dir, f"{stem}_extracted_{timestamp}.csv")
+
+
+def write_menu_csv_timestamped(
+    items: DataFrame,
+    output_dir: str,
+    stem: str,
+    timestamp: str | None = None,
+    single_file: bool = True,
+) -> str:
+    """S7+F11 — the reference's full save step: 13-column CSV written to a
+    per-run timestamped path. Returns the path written."""
+    path = timestamped_output_path(output_dir, stem, timestamp)
+    write_menu_csv(items, path, single_file=single_file)
+    return path
 
 
 def write_menu_csv(items: DataFrame, path: str, single_file: bool = True) -> None:

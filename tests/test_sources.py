@@ -19,7 +19,11 @@ from restaurant_etl_spark.sources.multimodal import (
     resize_images,
     sample_frames,
 )
-from restaurant_etl_spark.sources.sinks import write_menu_csv
+from restaurant_etl_spark.sources.sinks import (
+    timestamped_output_path,
+    write_menu_csv,
+    write_menu_csv_timestamped,
+)
 
 MENU_TXT = "SNACKS\nSamosa ... $5.00\nTea $2.00\n"
 
@@ -120,3 +124,28 @@ def test_csv_sink_contract(spark, tmp_path):
     assert header == OUTPUT_COLUMNS  # 13 columns, canonical order
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 1
+
+
+def test_timestamped_output_filename(spark, tmp_path):
+    """F11 — {stem}_extracted_{yyyyMMdd_HHmmss}.csv (process_menu.py:91-92)."""
+    import re
+
+    # injectable timestamp: deterministic path
+    p = timestamped_output_path(str(tmp_path), "great_india", "20240101_120000")
+    assert p == str(tmp_path / "great_india_extracted_20240101_120000.csv")
+
+    # default: one driver-side timestamp in the reference's exact format
+    p2 = timestamped_output_path(str(tmp_path), "menu")
+    assert re.fullmatch(
+        r"menu_extracted_\d{8}_\d{6}\.csv", p2.rsplit("/", 1)[1]
+    )
+
+    items = spark.createDataFrame(
+        [("Samosa", "Snacks", 5.0, "$5.00", "$")],
+        "item_name string, category string, price double, price_display string, currency string",
+    )
+    written = write_menu_csv_timestamped(
+        items, str(tmp_path), "great_india", timestamp="20240101_120000"
+    )
+    assert written.endswith("great_india_extracted_20240101_120000.csv")
+    assert spark.read.option("header", True).csv(written).count() == 1
