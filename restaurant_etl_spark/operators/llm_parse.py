@@ -59,6 +59,45 @@ def default_transport(prompt: str) -> str:  # pragma: no cover - no network here
     )
 
 
+def deterministic_rule_transport(prompt: str) -> str:
+    """Deterministic stand-in for the chat-completion call, used to drive
+    the FULL U1-U3 pipeline (chunk explode → mapInPandas batches → retry
+    wrapper → from_json schema gate → item explode) under the external
+    correctness gate without a network. It applies the prompt's own
+    decision rules (build_prompt: 2 prices → half/full, 3 prices →
+    small/medium/large, parenthesized dietary tag) with plain string ops —
+    a tiny but honest "model" whose output is closed-form SQL-predictable.
+
+    Module-level (not a closure) so Spark can pickle it to executors."""
+    import re
+
+    text = prompt.rsplit("MENU TEXT:\n", 1)[-1]
+    items = []
+    for line in text.splitlines():
+        line = line.strip()
+        prices = [float(m) for m in re.findall(r"\$(\d+(?:\.\d+)?)", line)]
+        if not prices:
+            continue
+        name = line.split("$", 1)[0]
+        tags = ["Vegetarian"] if "(Vegetarian)" in name else None
+        name = re.sub(r"\s*\((?:Half/Full|Vegetarian)\)\s*", " ", name).strip()
+        item: dict = {"item_name": name, "currency": "$"}
+        if tags:
+            item["dietary_tags"] = tags
+        if len(prices) == 1:
+            item["price"] = prices[0]
+        elif len(prices) == 2:
+            item["half_plate_price"], item["full_plate_price"] = prices
+        else:
+            (
+                item["small_price"],
+                item["medium_price"],
+                item["large_price"],
+            ) = prices[:3]
+        items.append(item)
+    return json.dumps({"items": items})
+
+
 def build_prompt(chunk: str, restaurant: str | None = None) -> str:
     """U3 — prompt assembly with the BetterVersion decision rules
     (BetterVersion/prompt_template.py:1-91), condensed."""

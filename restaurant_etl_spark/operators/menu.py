@@ -479,3 +479,56 @@ def menu_preview_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_name", "category", "price_display")
         .limit(15)
     )
+
+
+@register(
+    "llm_parse_items",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey AS doc_id, p_partkey % 4 AS mode, p_name AS name,
+               floor(p_retailprice) AS b
+        FROM part WHERE p_partkey % 5 = 0
+    )
+    SELECT doc_id,
+           name AS item_name,
+           CASE mode WHEN 0 THEN b + 0.25 WHEN 3 THEN b + 0.75 END AS price,
+           CASE WHEN mode = 1 THEN b + 0.5 END AS half_plate_price,
+           CASE WHEN mode = 1 THEN b + 1.0 END AS full_plate_price,
+           CASE WHEN mode = 2 THEN b + 1.0 END AS small_price,
+           CASE WHEN mode = 2 THEN b + 2.0 END AS medium_price,
+           CASE WHEN mode = 2 THEN b + 3.0 END AS large_price,
+           '$' AS currency,
+           CASE WHEN mode = 3 THEN 'Vegetarian' END AS dietary_tags
+    FROM m
+    """,
+    category="menu",
+)
+def llm_parse_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3 end-to-end under the correctness gate: the SAME pipeline a real
+    LLM deployment runs — normalize → 2000-char chunk explode → mapInPandas
+    batched calls with retry/backoff → strict from_json schema gate → item
+    explode (llm_parser.py:116-181) — driven by the deterministic
+    rule-following transport so the result is closed-form SQL-predictable.
+    dietary_tags is flattened to a string (F7) — the driver harness hashes
+    scalar columns only."""
+    from restaurant_etl_spark.functions.cleaning import flatten_dietary_tags
+    from restaurant_etl_spark.operators.llm_parse import (
+        deterministic_rule_transport,
+        parse_with_llm,
+    )
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    docs = _part_menu_docs(p)
+    items = parse_with_llm(docs, transport=deterministic_rule_transport)
+    return items.select(
+        "doc_id",
+        "item_name",
+        "price",
+        "half_plate_price",
+        "full_plate_price",
+        "small_price",
+        "medium_price",
+        "large_price",
+        "currency",
+        flatten_dietary_tags(F.col("dietary_tags")).alias("dietary_tags"),
+    )

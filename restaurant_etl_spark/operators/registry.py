@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         io_formats,
         menu,
+        multimodal_queries,
         relational,
         reshape_extra,
         scalar_extra,
