@@ -74,18 +74,22 @@ def main() -> int:
     for t in ("lineitem", "orders", "documents", "events"):
         load_table(spark, SF_DIR, t).count()
 
+    # report BOTH timings per query: cold (first run, pays one-time
+    # whole-stage-codegen compilation, ~1-3s per unique plan) and steady
+    # (second run — what a long-lived cluster session amortizes to). The
+    # headline metric stays steady-state; cold_total alongside keeps
+    # round-over-round comparisons honest about the mode.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
-        # steady-state timing: first execution pays one-time whole-stage
-        # codegen compilation (~1-3s per unique plan); production amortizes
-        # it, so measure the second run
-        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.time()
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -94,7 +98,10 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "mode": "steady_state",
+        "cold_total": round(sum(cold.values()), 3),
+        "steady_total": total,
         "queries": timings,
+        "cold_queries": cold,
         "sf": sf,
     }))
     return 0

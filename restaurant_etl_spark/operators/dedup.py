@@ -33,9 +33,34 @@ N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.8
 HAMMING_THRESHOLD = 6
 
+#: document-frequency cap for the exact inverted-index join: shingles seen
+#: in more than this many documents are excluded from CANDIDATE GENERATION
+#: (never from Jaccard scoring). A stop-shingle shared by 10^6 docs would
+#: otherwise create a 10^12-pair posting-list explosion at 100 TB.
+MAX_SHINGLE_DF = 1000
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+#: the one DataFrame this module keeps cached (see _persist_scoped)
+_persisted: list[DataFrame] = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing whatever this module persisted previously.
+
+    Queries return unmaterialized plans, so the callee can't unpersist at
+    the right moment itself; scoping the cache to "most recent invocation"
+    bounds cached blocks to one shingle table instead of leaking one per
+    invocation across a long-lived session (driver runs + bench loops)."""
+    for old in _persisted:
+        old.unpersist(blocking=False)
+    _persisted.clear()
+    df.persist()
+    _persisted.append(df)
+    return df
 
 
 def _toks(text: Column) -> Column:
@@ -67,16 +92,47 @@ _SHINGLE_SQL = """
 """
 
 
-def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """All pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
-    Inverted-index self-join on the shingle key: the shuffle is bounded by
-    per-shingle posting-list sizes, not corpus²."""
+def _exact_jaccard_pairs(
+    sh: DataFrame, threshold: float, df_cap: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """All pairs sharing ≥1 below-cap shingle, with exact Jaccard ≥
+    threshold over the FULL shingle sets.
+
+    Candidate generation is an inverted-index self-join restricted to
+    shingles with document frequency ≤ ``df_cap`` — one hot stop-shingle
+    ("of the menu") shared by 10^6 docs would otherwise explode into 10^12
+    pairs. Scoring then counts common shingles per candidate pair against
+    the UNCAPPED table (cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)), so the
+    Jaccard values are exact.
+
+    Equivalence bound: the result equals the uncapped computation unless a
+    qualifying pair shares ONLY above-cap shingles. At threshold t a pair
+    shares ≥ t/(1+t) · (|A|+|B|) shingles (≈44% at t=0.8); missing it
+    requires every one of those to be corpus-wide stop-shingles — at which
+    point the pair is boilerplate, exactly what DF-capping is meant to
+    ignore. tests/test_dedup_cap.py plants such a stop-shingle and proves
+    the posting list is capped while true near-dup pairs survive."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
@@ -152,8 +208,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via an
-    inverted-index self-join — no quadratic all-pairs comparison."""
+    """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via a DF-capped
+    inverted-index self-join — no quadratic all-pairs comparison, and no
+    hot-shingle posting-list explosion (see _exact_jaccard_pairs for the
+    equivalence bound)."""
     return _exact_jaccard_pairs(shingle_table(_docs(spark, sf_dir)), JACCARD_THRESHOLD)
 
 
@@ -217,8 +275,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # the shingle table feeds four consumers (signatures, both verify sides,
     # sizes) — persist it once instead of re-shingling per consumer
-    # (SURVEY §4 stage caching)
-    sh = shingle_table(docs).persist()
+    # (SURVEY §4 stage caching); scoped so repeat invocations don't leak
+    sh = _persist_scoped(shingle_table(docs))
     sig = minhash_signatures(sh)
 
     band_cols = [

@@ -7,28 +7,30 @@ write/read would hash-mismatch."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
 from restaurant_etl_spark.sources.tables import load_table
 
 
 def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"io_{fmt}_{table}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        df = load_table(spark, sf_dir, table)
-        w = df.write.mode("overwrite")
+    def build(scratch: str) -> None:
+        out = os.path.join(scratch, "data")
+        w = load_table(spark, sf_dir, table).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(out)
         else:
             w.json(out)
-    return out
+
+    base = stage_once(
+        f"io_{fmt}_{table}_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_fingerprint(os.path.join(sf_dir, f"{table}.parquet")),
+        build,
+    )
+    return os.path.join(base, "data")
 
 
 @register(

@@ -34,6 +34,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _stage_menu_txt(spark: SparkSession, sf_dir: str, with_bad: bool = False) -> str:
+    """Stage the first 100 synthesized menu docs as .txt fixture files for
+    the binaryFile source (plus one unsupported-format file when
+    ``with_bad``). Atomic + fingerprint-keyed (sources/staging.py) so
+    concurrent pytest/bench/driver runs never observe a half-staged dir.
+    Driver-side collect is fixture setup of 100 tiny files, not a measured
+    operator path."""
+    import os as _os
+
+    from restaurant_etl_spark.sources.staging import (
+        source_fingerprint,
+        stage_once,
+    )
+
+    def build(scratch: str) -> None:
+        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100))
+        for r in docs.collect():
+            with open(_os.path.join(scratch, f"{r['doc_id']}.txt"), "w") as fh:
+                fh.write(r["text"])
+        if with_bad:
+            with open(_os.path.join(scratch, "broken_0.xyz"), "wb") as fh:
+                fh.write(b"????")
+
+    suffix = "bad" if with_bad else "ok"
+    return stage_once(
+        f"menu_files_{suffix}_{_os.path.basename(_os.path.normpath(sf_dir))}",
+        source_fingerprint(_os.path.join(sf_dir, "part.parquet")),
+        build,
+    )
+
+
 def _fmt(c: Column) -> Column:
     return F.format_string("%.2f", c)
 
@@ -233,27 +264,13 @@ def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     native-text path (S3), and the parser — oracle-checked in closed form.
     File staging is driver-side fixture setup (100 tiny files), not part of
     the measured operator path."""
-    import os as _os
-    import tempfile as _tf
-
     from restaurant_etl_spark.sources.binary import (
         extract_binary_text,
         read_binary_dir,
         with_format,
     )
 
-    stage = _os.path.join(
-        _tf.gettempdir(), f"menu_files_{_os.path.basename(_os.path.normpath(sf_dir))}"
-    )
-    marker = _os.path.join(stage, "_STAGED")
-    if not _os.path.exists(marker):
-        _os.makedirs(stage, exist_ok=True)
-        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100))
-        for r in docs.collect():
-            with open(_os.path.join(stage, f"{r['doc_id']}.txt"), "w") as fh:
-                fh.write(r["text"])
-        open(marker, "w").close()
-
+    stage = _stage_menu_txt(spark, sf_dir)
     raw = with_format(read_binary_dir(spark, stage, glob="*.txt"))
     extracted = extract_binary_text(raw).filter(F.col("success"))
     docs = extracted.select(
@@ -332,32 +349,15 @@ def menu_batch_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exactly one item (half/full and size triples are ONE item with
     multiple price columns); a planted unsupported file exercises the
     failure row."""
-    import os as _os
-    import tempfile as _tf
-
     from restaurant_etl_spark.sources.binary import (
         extract_binary_text,
         read_binary_dir,
         with_format,
     )
 
-    # reuse the staged dir from menu_pipeline_files, plus one bad file
-    stage = _os.path.join(
-        _tf.gettempdir(), f"menu_files_{_os.path.basename(_os.path.normpath(sf_dir))}"
-    )
-    marker = _os.path.join(stage, "_STAGED")
-    if not _os.path.exists(marker):
-        _os.makedirs(stage, exist_ok=True)
-        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100))
-        for r in docs.collect():
-            with open(_os.path.join(stage, f"{r['doc_id']}.txt"), "w") as fh:
-                fh.write(r["text"])
-        open(marker, "w").close()
-    bad = _os.path.join(stage, "broken_0.xyz")
-    if not _os.path.exists(bad):
-        with open(bad, "wb") as fh:
-            fh.write(b"????")
-
+    # a separate stage including the planted unsupported file: staged dirs
+    # are immutable once installed (no mutate-after-marker races)
+    stage = _stage_menu_txt(spark, sf_dir, with_bad=True)
     raw = with_format(read_binary_dir(spark, stage, glob="*.{txt,xyz}"))
     extracted = extract_binary_text(raw)
     ok_docs = extracted.filter(F.col("success")).select(

@@ -72,7 +72,7 @@ def stream_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
         SELECT user_id, ts, value,
-               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN} * 60000000
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_MIN} * 60000000
                       OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
@@ -98,10 +98,13 @@ def stream_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = SESSION_GAP_MIN * 60_000_000
+    # >= gap starts a NEW session, matching native session_window exactly:
+    # per-event windows are [ts, ts+gap) and merge only on OVERLAP, so an
+    # event landing exactly gap after its predecessor does not merge.
     g = e.withColumn(
         "is_new",
         F.when(
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= gap_us)
             | F.lag("ts").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -177,7 +180,7 @@ def stream_tumbling_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
         SELECT user_id, ts, value,
-               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN} * 60000000
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_MIN} * 60000000
                       OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events

@@ -238,17 +238,21 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="text",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF via joins + window: term frequency ⋈ document frequency
-    (broadcast — vocabulary ≪ corpus) × corpus size, top-3 terms per doc.
-    At 100 TB the only big shuffles are the two term-keyed aggregations;
-    the df side stays broadcast-able because vocabularies grow sublinearly."""
+    """TF-IDF via joins + window: term frequency ⋈ document frequency ×
+    corpus size, top-3 terms per doc. At 100 TB the big shuffles are the
+    two term-keyed aggregations. The tf⋈df join carries NO broadcast hint
+    on purpose: a 100 TB corpus vocabulary can exceed the broadcast
+    threshold, and a forced hint would silently OOM the driver — AQE
+    chooses broadcast at runtime when df is actually small (it is at test
+    scale) and falls back to a shuffled join on term otherwise, which is
+    the correct scale path. Only the single-row n_docs is hint-broadcast."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

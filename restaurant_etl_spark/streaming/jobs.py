@@ -20,7 +20,6 @@ by swapping the reader.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,14 +33,27 @@ SESSION_GAP = "30 minutes"
 def stage_events_source(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
     """Materialize events as a micros-timestamp parquet directory usable as
     a file-stream source (the raw file is TIMESTAMP(NANOS), which the
-    streaming reader can't ingest directly — see sources/tables.py)."""
-    out_dir = out_dir or os.path.join(
-        tempfile.gettempdir(), f"events_stream_src_{os.path.basename(os.path.normpath(sf_dir))}"
+    streaming reader can't ingest directly — see sources/tables.py).
+    Atomic + fingerprint-keyed via sources/staging.py unless an explicit
+    ``out_dir`` is given (tests use private tmp dirs)."""
+    if out_dir is not None:
+        if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
+        return out_dir
+
+    from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
+
+    def build(scratch: str) -> None:
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+            os.path.join(scratch, "data")
+        )
+
+    base = stage_once(
+        f"events_stream_src_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_fingerprint(os.path.join(sf_dir, "events.parquet")),
+        build,
     )
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
-    return out_dir
+    return os.path.join(base, "data")
 
 
 def events_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -100,7 +112,10 @@ def run_available_now(
     df: DataFrame, table: str, output_mode: str = "complete", timeout_s: int = 300
 ) -> None:
     """Drain the stream with the availableNow trigger into a memory sink;
-    read results back with ``spark.table(table)``."""
+    read results back with ``spark.table(table)``. Raises TimeoutError if
+    the drain doesn't finish — a hung stream must not silently hand callers
+    a partially-filled table (it would surface as a baffling oracle
+    mismatch instead of the real failure)."""
     q = (
         df.writeStream.format("memory")
         .queryName(table)
@@ -109,7 +124,11 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming drain into {table!r} did not complete in {timeout_s}s"
+            )
     finally:
         if q.isActive:
             q.stop()

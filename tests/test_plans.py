@@ -82,9 +82,22 @@ def test_menu_parser_single_window_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
-    assert "BroadcastHashJoin" in plan  # df side (vocabulary) broadcast
+def test_tfidf_vocabulary_join_unhinted(spark, sf_dir):
+    """The tf⋈df join must NOT carry a broadcast hint: at 100 TB the
+    vocabulary can exceed the broadcast threshold and a forced hint OOMs
+    the driver. AQE is free to pick broadcast at runtime when df turns out
+    small — the logical plan just can't force it. The only legitimate hint
+    is the single-row n_docs count."""
+    df = SPECS["text_tfidf_top_terms"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint (n_docs), not two (n_docs + vocabulary)
+    assert logical.count("UnresolvedHint") + logical.count("ResolvedHint") == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 1-row n_docs cross join is a hint-broadcast BNLJ (fine); an
+    # unbroadcast CartesianProduct anywhere would be the scale bug
+    assert "CartesianProduct" not in plan
+    # and AQE still executes it correctly end-to-end
+    assert df.count() > 0
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
