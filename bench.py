@@ -47,8 +47,12 @@ HEADLINE = [
     "menu_parse_items",
     "menu_category_summary",
     # TPC-H additions & rollup cascade
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
     "hypertable_rollup_cascade",
     # extension surface (registered in later milestones)
     "dedup_exact_documents",

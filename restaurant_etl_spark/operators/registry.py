@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming_batch,
         text_analysis,
+        tpch_full,
         tpch_more,
         udf_surface,
         windows_aggs,
