@@ -44,23 +44,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-#: the one DataFrame this module keeps cached (see _persist_scoped)
-_persisted: list[DataFrame] = []
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    """Persist ``df``, releasing whatever this module persisted previously.
-
-    Queries return unmaterialized plans, so the callee can't unpersist at
-    the right moment itself; scoping the cache to "most recent invocation"
-    bounds cached blocks to one shingle table instead of leaking one per
-    invocation across a long-lived session (driver runs + bench loops)."""
-    for old in _persisted:
-        old.unpersist(blocking=False)
-    _persisted.clear()
-    df.persist()
-    _persisted.append(df)
-    return df
+from restaurant_etl_spark.session import persist_scoped
 
 
 def _toks(text: Column) -> Column:
@@ -276,7 +260,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle table feeds four consumers (signatures, both verify sides,
     # sizes) — persist it once instead of re-shingling per consumer
     # (SURVEY §4 stage caching); scoped so repeat invocations don't leak
-    sh = _persist_scoped(shingle_table(docs))
+    sh = persist_scoped(shingle_table(docs), "dedup_shingles")
     sig = minhash_signatures(sh)
 
     band_cols = [

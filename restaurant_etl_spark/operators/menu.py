@@ -270,9 +270,16 @@ def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_format,
     )
 
+    from restaurant_etl_spark.session import persist_scoped
+
     stage = _stage_menu_txt(spark, sf_dir)
     raw = with_format(read_binary_dir(spark, stage, glob="*.txt"))
-    extracted = extract_binary_text(raw).filter(F.col("success"))
+    # extract ONCE and persist: the Python extraction pass must not re-run
+    # per downstream consumer (the production shape materializes this
+    # stage to parquet; the scoped persist is its in-session analog)
+    extracted = persist_scoped(
+        extract_binary_text(raw), "menu_extracted_ok"
+    ).filter(F.col("success"))
     docs = extracted.select(
         F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
         "text",
@@ -355,11 +362,14 @@ def menu_batch_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_format,
     )
 
+    from restaurant_etl_spark.session import persist_scoped
+
     # a separate stage including the planted unsupported file: staged dirs
     # are immutable once installed (no mutate-after-marker races)
     stage = _stage_menu_txt(spark, sf_dir, with_bad=True)
     raw = with_format(read_binary_dir(spark, stage, glob="*.{txt,xyz}"))
-    extracted = extract_binary_text(raw)
+    # three consumers (items parse, ok rollup, fail rollup) — extract once
+    extracted = persist_scoped(extract_binary_text(raw), "menu_extracted_all")
     ok_docs = extracted.filter(F.col("success")).select(
         F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
         "text",

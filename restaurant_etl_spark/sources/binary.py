@@ -94,58 +94,56 @@ def _stub_text(content: bytes, kind: str) -> str:
 def extract_binary_text(df: DataFrame) -> DataFrame:
     """S3-S6 — extraction over a routed binaryFile DataFrame, returning the
     reference's extraction-result schema (pdf_extractor.py:60-66) keyed by
-    path. txt decodes natively (JVM); pdf/images run through mapInPandas
-    with the lazy engine; unsupported formats yield success=false
-    (universal_extractor.py:26-48)."""
-    txt = (
-        df.filter(F.col("format") == "txt")
-        .select(
-            "path",
-            F.decode("content", "UTF-8").alias("text"),
-            F.lit("native_text").alias("extraction_method"),
-        )
-        .withColumn("char_count", F.length("text"))
-        .withColumn("success", F.length(F.trim("text")) > 0)
-        .withColumn("error", F.lit(None).cast("string"))
-    )
+    path: txt → UTF-8 decode (``native_text``), pdf/images → the lazy
+    per-executor engine, unsupported formats → success=false rows
+    (universal_extractor.py:26-48).
+
+    ONE Arrow-batched pass over ONE scan. The earlier design unioned three
+    filtered branches (txt / media / unsupported), which compiled to three
+    separate binaryFile scans — at 100 TB that reads the raw corpus three
+    times. Since pdf/image bytes must cross into Python for the engine
+    anyway, routing every row through the same mapInPandas (txt rows take
+    a trivial in-batch decode) keeps the scan single. A production
+    deployment materializes this stage to parquet once and never re-reads
+    the binaries (SURVEY §3.2's batch re-run boundary)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = _get_engine()
         for pdf in batches:
             rows = []
-            for path, fmt, content in zip(pdf["path"], pdf["format"], pdf["content"]):
-                kind = "pdf" if fmt == "pdf" else "image"
+            for path, fmt, supported, content in zip(
+                pdf["path"], pdf["format"], pdf["supported"], pdf["content"]
+            ):
                 try:
-                    if engine == "stub":
+                    if not supported:
+                        rows.append(
+                            (path, None, "unsupported", 0, False,
+                             f"Unsupported file format: .{fmt}")
+                        )
+                    elif fmt == "txt":
+                        text = bytes(content).decode("utf-8")
+                        rows.append(
+                            (path, text, "native_text", len(text),
+                             len(text.strip()) > 0, None)
+                        )
+                    else:
+                        kind = "pdf" if fmt == "pdf" else "image"
                         text = _stub_text(bytes(content), kind)
-                        method = f"{kind}_stub"
-                    else:  # pragma: no cover - real extractors
-                        text = _stub_text(bytes(content), kind)
-                        method = f"{kind}_{engine}"
-                    # S4: OCR fallback branch (kept for plan/threshold parity)
-                    if kind == "pdf" and len(text) < OCR_FALLBACK_CHARS:
-                        method = "pdf_ocr_fallback"
-                    rows.append((path, text, method, len(text), True, None))
+                        method = (
+                            f"{kind}_stub" if engine == "stub" else f"{kind}_{engine}"
+                        )
+                        # S4: OCR fallback branch (threshold parity)
+                        if kind == "pdf" and len(text) < OCR_FALLBACK_CHARS:
+                            method = "pdf_ocr_fallback"
+                        rows.append((path, text, method, len(text), True, None))
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
+                    kind = "pdf" if fmt == "pdf" else "image"
                     rows.append((path, None, f"{kind}_error", 0, False, str(e)))
             yield pd.DataFrame(
                 rows,
                 columns=["path", "text", "extraction_method", "char_count", "success", "error"],
             )
 
-    media = (
-        df.filter(F.col("supported") & (F.col("format") != "txt"))
-        .select("path", "format", "content")
-        .mapInPandas(_extract, EXTRACTION_SCHEMA)
+    return df.select("path", "format", "supported", "content").mapInPandas(
+        _extract, EXTRACTION_SCHEMA
     )
-
-    unsupported = df.filter(~F.col("supported")).select(
-        "path",
-        F.lit(None).cast("string").alias("text"),
-        F.lit("unsupported").alias("extraction_method"),
-        F.lit(0).alias("char_count"),
-        F.lit(False).alias("success"),
-        F.concat(F.lit("Unsupported file format: ."), F.col("format")).alias("error"),
-    )
-
-    return txt.unionByName(media).unionByName(unsupported)
