@@ -143,6 +143,111 @@ def stream_dedup_in_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_sec,
+           round(p.value, 2) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """
+
+_ENRICH_ORACLE = """
+    SELECT e.event_id,
+           e.user_id,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS segment,
+           e.event_type,
+           e.ts,
+           round(e.value, 2) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """
+
+
+@register("stream_stream_interval_join_batch", oracle=_INTERVAL_JOIN_ORACLE, category="streaming")
+def stream_stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: views paired with the
+    same user's purchases within 30 minutes after the view. In batch form
+    this is one shuffle on user_id with the time bound applied inside the
+    join; in streaming form the same bound limits buffered state."""
+    from restaurant_etl_spark.streaming import view_purchase_interval_join
+
+    e = _events(spark, sf_dir)
+    return view_purchase_interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register("stream_stream_interval_join_live", oracle=_INTERVAL_JOIN_ORACLE, category="streaming")
+def stream_stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream join oracle-checked end-to-end: two watermarked
+    file-stream replays of events (views / purchases) joined on user_id with
+    an event-time bound, drained append-mode with availableNow. Inner-join
+    rows emit eagerly, so the drain yields the complete pair set; watermarks
+    bound the buffered state the whole time."""
+    import os as _os
+
+    from restaurant_etl_spark.streaming import (
+        events_file_stream,
+        run_available_now,
+        stage_events_source,
+        view_purchase_interval_join,
+    )
+
+    src = stage_events_source(spark, sf_dir)
+    views = events_file_stream(spark, src).filter(F.col("event_type") == "view")
+    purchases = events_file_stream(spark, src).filter(F.col("event_type") == "purchase")
+    table = "ssjoin_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(view_purchase_interval_join(views, purchases), table, "append")
+    return spark.table(table)
+
+
+@register("stream_static_enrich_batch", oracle=_ENRICH_ORACLE, category="streaming")
+def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream-static enrichment: every event joined to the
+    broadcast customer dimension (user_id = c_custkey) — map-side, zero
+    shuffle, zero streaming state."""
+    from restaurant_etl_spark.sources.tables import load_table as _lt
+    from restaurant_etl_spark.streaming import enrich_with_customers
+
+    return enrich_with_customers(_events(spark, sf_dir), _lt(spark, sf_dir, "customer"))
+
+
+@register("stream_static_enrich_live", oracle=_ENRICH_ORACLE, category="streaming")
+def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-static broadcast enrichment drained with availableNow:
+    the static dimension is re-resolved per micro-batch (the
+    slowly-changing-dimension deployment pattern), the stream side never
+    shuffles."""
+    import os as _os
+
+    from restaurant_etl_spark.sources.tables import load_table as _lt
+    from restaurant_etl_spark.streaming import (
+        enrich_with_customers,
+        events_file_stream,
+        run_available_now,
+        stage_events_source,
+    )
+
+    src = stage_events_source(spark, sf_dir)
+    stream = events_file_stream(spark, src)
+    table = "enrich_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(
+        enrich_with_customers(stream, _lt(spark, sf_dir, "customer")), table, "append"
+    )
+    return spark.table(table)
+
+
 @register(
     "stream_tumbling_window_live",
     oracle="""

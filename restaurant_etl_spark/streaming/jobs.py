@@ -108,6 +108,73 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_interval_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each view pairs with
+    the same user's purchases landing in ``[view_ts, view_ts + horizon]``.
+    Both sides carry watermarks so the join state (buffered unmatched rows)
+    is evicted once the watermark passes the time bound — state is O(rows
+    within the horizon), not O(stream). Inner-join rows emit eagerly, so an
+    availableNow drain in append mode yields the complete pair set."""
+    v = views.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {horizon}
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")) / F.lit(1_000_000)
+        ).alias("lag_sec"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+
+
+def enrich_with_customers(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: broadcast the dimension to every task so
+    each micro-batch joins map-side with zero shuffle and zero state. The
+    static side is re-resolvable per micro-batch (Spark re-plans it), which
+    is exactly the slowly-changing-dimension deployment pattern."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return stream.join(dim, "user_id", "inner").select(
+        "event_id",
+        "user_id",
+        "customer_name",
+        "segment",
+        "event_type",
+        "ts",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def run_available_now(
     df: DataFrame, table: str, output_mode: str = "complete", timeout_s: int = 300
 ) -> None:

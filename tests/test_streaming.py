@@ -184,3 +184,41 @@ def test_stateful_running_totals_across_restarts(spark, sf_dir, tmp_path):
     )
     expected = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
     assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, src_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    (view, purchase-within-30min) pairs the batch join finds."""
+    from restaurant_etl_spark.streaming import view_purchase_interval_join
+
+    views = events_file_stream(spark, src_dir).filter(F.col("event_type") == "view")
+    purchases = events_file_stream(spark, src_dir).filter(F.col("event_type") == "purchase")
+    run_available_now(view_purchase_interval_join(views, purchases), "t_ssjoin", "append")
+    live = spark.table("t_ssjoin")
+
+    e = spark.read.parquet(src_dir)
+    batch = view_purchase_interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "view_id", "purchase_id", "lag_sec", "purchase_value"]
+    assert _rows(live, *cols) == _rows(batch, *cols)
+    assert live.count() > 0
+
+
+def test_stream_static_enrichment_broadcasts_dimension(spark, sf_dir, src_dir):
+    """Stream-static enrichment joins every event to the customer dimension
+    map-side; the drained stream matches the batch join row-for-row."""
+    from restaurant_etl_spark.sources.tables import load_table
+    from restaurant_etl_spark.streaming import enrich_with_customers
+
+    customers = load_table(spark, sf_dir, "customer")
+    run_available_now(
+        enrich_with_customers(events_file_stream(spark, src_dir), customers),
+        "t_enrich",
+        "append",
+    )
+    live = spark.table("t_enrich")
+    batch = enrich_with_customers(spark.read.parquet(src_dir), customers)
+    cols = ["event_id", "user_id", "segment", "value"]
+    assert _rows(live, *cols) == _rows(batch, *cols)
