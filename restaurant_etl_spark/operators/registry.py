@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     # imports are side-effectful (decorators populate REGISTRY)
     from restaurant_etl_spark.operators import (  # noqa: F401
         dedup,
+        embedding_prep,
         io_formats,
         menu,
         multimodal_queries,
