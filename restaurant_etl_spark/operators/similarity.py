@@ -382,3 +382,158 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("q_id", "vec_id", "cos", F.row_number().over(w_rank).alias("rn")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+# --------------------------------------------------------------------------
+# IVF with data-derived sqrt(n) centroids — the production-shaped variant
+# --------------------------------------------------------------------------
+
+_DUCK_COS = (
+    f"round({_DUCK_DOT.format(a='{a}', b='{b}')}"
+    f" / ({_DUCK_NORM.format(a='{a}')} * {_DUCK_NORM.format(a='{b}')}), 4)"
+)
+
+
+@register(
+    "similarity_ivf_sqrtn_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    tot AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS m FROM e),
+    seeds AS (
+        SELECT vec_id AS cell_id, v AS sv FROM e, tot
+        WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % m = 0
+    ),
+    assign0 AS (
+        SELECT vec_id, cell_id, v FROM (
+            SELECT e.vec_id, s.cell_id, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round({_DUCK_DOT.format(a='e.v', b='s.sv')}
+                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='s.sv')}), 4) DESC,
+                       s.cell_id) AS rn
+            FROM e CROSS JOIN seeds s) t
+        WHERE rn = 1
+    ),
+    ex AS (
+        SELECT cell_id, unnest(range(1, {DIM + 1})) AS i,
+               unnest(list_transform(v, x -> x::DOUBLE)) AS x
+        FROM assign0
+    ),
+    dims AS (SELECT cell_id, i, avg(x) AS c FROM ex GROUP BY cell_id, i),
+    cent AS (SELECT cell_id AS c_cell, list(round(c, 6) ORDER BY i) AS cv FROM dims GROUP BY cell_id),
+    assign AS (
+        SELECT vec_id, c_cell FROM (
+            SELECT e.vec_id, c.c_cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round({_DUCK_DOT.format(a='e.v', b='c.cv')}
+                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       c.c_cell) AS rn
+            FROM e CROSS JOIN cent c) t
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT q_id, qv, c_cell FROM (
+            SELECT q.q_id, q.qv, c.c_cell,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       round({_DUCK_DOT.format(a='q.qv', b='c.cv')}
+                             / ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       c.c_cell) AS rn
+            FROM q CROSS JOIN cent c) t
+        WHERE rn <= 3
+    ),
+    scored AS (
+        SELECT p.q_id, e.vec_id,
+               round({_DUCK_DOT.format(a='p.qv', b='e.v')}
+                     / ({_DUCK_NORM.format(a='p.qv')} * {_DUCK_NORM.format(a='e.v')}), 4) AS cos
+        FROM probes p
+        JOIN assign a ON a.c_cell = p.c_cell
+        JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF whose cell count derives from the DATA (≈√n cells), not from the
+    label column — the production shape at any corpus size (VERDICT.md round
+    1 flagged the label-tied variant as the scale gap). Seeds are picked by
+    a pure deterministic hash filter (md5(vec_id) % ceil(√n) == 0): no
+    global sort, no sampling state, expected √n seeds, replayable in the
+    oracle. One Lloyd refinement (assign-to-seed → per-cell per-dim means)
+    turns seeds into k-means-style centroids; a production build would loop
+    this stage. Queries probe nprobe=3 cells, exact rank inside cells only:
+    per-query work is nprobe/ncells of the corpus, centroids stay a
+    broadcast table at √n × 64 doubles (~5 MB even at 10⁹ vectors)."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+
+    m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    seeds = (
+        e.crossJoin(F.broadcast(m))
+        .filter(h % F.col("m") == 0)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
+    )
+
+    # one Lloyd iteration: nearest seed, then cell centroids = per-dim means
+    a0 = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", "cell_id",
+        F.round(cosine(_dvec("v"), _dvec("sv")), 4).alias("cos"),
+    )
+    w0 = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cell_id")
+    assign0 = (
+        a0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    dims = (
+        assign0.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
+        .groupBy("cell_id", "i")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = (
+        dims.groupBy("cell_id")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
+        .select(F.col("cell_id").alias("c_cell"), "cv")
+    )
+
+    # inverted file against the refined centroids
+    sa = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "c_cell",
+        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
+    assign = (
+        sa.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
+    )
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "q_id", "qv", "c_cell",
+        F.round(cosine(_dvec("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_cell")
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "qv", "c_cell")
+    )
+
+    scored = (
+        probes.join(assign, "c_cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(cosine(_dvec("qv"), _dvec("cv_v")), 4).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.select("q_id", "vec_id", "cos", F.row_number().over(wr).alias("rn")).filter(
+        F.col("rn") <= TOP_K
+    )
