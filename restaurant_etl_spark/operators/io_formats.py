@@ -22,6 +22,8 @@ def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
         w = load_table(spark, sf_dir, table).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.json(out)
 
@@ -68,4 +70,61 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).json(path)
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n"), F.round(F.max("s_acctbal"), 2).alias("max_bal")
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="relational",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip (the third columnar format after
+    parquet, self-describing schema) → aggregate; must equal the parquet
+    original. ORC shares the vectorized reader and predicate-pushdown path
+    with parquet, so this also guards the non-default columnar codepath."""
+    path = _stage(spark, sf_dir, "orders", "orc")
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "source_partitioned_pruned_read",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+    category="relational",
+)
+def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write (partitionBy o_orderstatus) → read back with a
+    partition-column filter → aggregate. The filter prunes whole directories
+    before any file is opened (PartitionFilters in the scan node — the plan
+    shape is asserted in tests/test_plans.py; THIS query puts the result
+    under the value-hash gate). At 100 TB partition pruning is the first
+    and cheapest scan reducer — it must also be value-correct."""
+
+    def build(scratch: str) -> None:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(os.path.join(scratch, "data"))
+
+    base = stage_once(
+        f"io_part_orders_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_fingerprint(os.path.join(sf_dir, "orders.parquet")),
+        build,
+    )
+    back = spark.read.parquet(os.path.join(base, "data"))
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
