@@ -23,11 +23,24 @@ from pyspark.sql import functions as F
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
-#: MinHash parameters: 9 salted hash functions, 3 bands × 3 rows.
+#: MinHash parameters: 9 hash functions, 3 bands × 3 rows.
 #: P(candidate | j) = 1 - (1 - j^3)^3  →  0.98 at j=0.9, 0.003 at j=0.1.
 N_HASHES = 9
 BAND_ROWS = 3
 N_BANDS = N_HASHES // BAND_ROWS
+
+#: The 9 MinHash functions are ONE 60-bit md5 per shingle xor-mixed with 9
+#: fixed 60-bit constants (h_i = base ^ XOR_SALTS[i]) — the standard
+#: one-permutation trick: md5 is ~50x the cost of the xor, so hashing once
+#: cuts signature CPU ~9x while xor with independent constants keeps the
+#: min-stable family property. Constants are md5-derived at import so the
+#: DuckDB oracle embeds the identical literals.
+import hashlib as _hashlib
+
+XOR_SALTS = [
+    int(_hashlib.md5(f"minhash-salt-{i}".encode()).hexdigest()[:15], 16)
+    for i in range(N_HASHES)
+]
 
 #: near-dup thresholds
 JACCARD_THRESHOLD = 0.8
@@ -41,10 +54,12 @@ MAX_SHINGLE_DF = 1000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every consumer does per-token/per-shingle digest work: run it at full
+    # width instead of the narrow single-file scan layout
+    return fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
-from restaurant_etl_spark.session import persist_scoped
+from restaurant_etl_spark.session import fan_out
 
 
 def _toks(text: Column) -> Column:
@@ -204,13 +219,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig array<string>): per-doc MinHash signature, hash i =
-    min over shingles of md5('<i>|' + shingle). One groupBy on doc_id."""
+    """(doc_id, sig array<bigint>): per-doc MinHash signature, hash i =
+    min over shingles of (h60(shingle) ^ XOR_SALTS[i]) where h60 is the
+    first 60 bits of one md5 per shingle. One groupBy on doc_id; the md5
+    is computed once and the 9 variants are register-cheap xors."""
+    base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    t = sh.withColumn("h60", base)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min(F.expr(f"h60 ^ {XOR_SALTS[i]}L")).alias(f"h{i}") for i in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = t.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
@@ -220,12 +238,16 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     WITH sh AS ({_SHINGLE_SQL}),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+               {", ".join(
+                   f"min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, {XOR_SALTS[i]})) AS h{i}"
+                   for i in range(N_HASHES)
+               )}
         FROM sh GROUP BY doc_id
     ),
     bands AS (
         {" UNION ALL ".join(
-            f"SELECT doc_id, {k} AS band_idx, h{3*k} || h{3*k+1} || h{3*k+2} AS band FROM sig"
+            f"SELECT doc_id, {k} AS band_idx, "
+            f"h{3*k}::VARCHAR || '|' || h{3*k+1}::VARCHAR || '|' || h{3*k+2}::VARCHAR AS band FROM sig"
             for k in range(N_BANDS)
         )}
     ),
@@ -258,13 +280,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (semi-join pushes the pair filter into the inverted index)."""
     docs = _docs(spark, sf_dir)
     # the shingle table feeds four consumers (signatures, both verify sides,
-    # sizes) — persist it once instead of re-shingling per consumer
-    # (SURVEY §4 stage caching); scoped so repeat invocations don't leak
-    sh = persist_scoped(shingle_table(docs), "dedup_shingles")
+    # sizes). Deliberately NOT persisted: the re-derivation is a narrow
+    # full-width map off the columnar source, which measures cheaper than
+    # caching here — and at 100 TB a persisted shingle table is a ~100x
+    # inflated intermediate that would spill long before it paid off.
+    sh = shingle_table(docs)
     sig = minhash_signatures(sh)
 
     band_cols = [
-        F.concat(*[F.element_at("sig", 3 * k + r + 1) for r in range(BAND_ROWS)]).alias(f"b{k}")
+        F.concat_ws(
+            "|", *[F.element_at("sig", 3 * k + r + 1).cast("string") for r in range(BAND_ROWS)]
+        ).alias(f"b{k}")
         for k in range(N_BANDS)
     ]
     bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band"))
@@ -308,20 +334,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: 60-bit token hash: first 15 hex digits of md5 (fits BIGINT, portable).
+#: Tokens are hashed ONCE into an `hs` array column; the 60-bit vote loop
+#: then runs over cheap shifts. The `size(hs) >= 0` guard is a deliberate
+#: second reference so CollapseProject keeps `hs` materialized instead of
+#: inlining the md5 transform into the bit lambda (inlined, it would
+#: re-hash every token 60 times — the same Catalyst pitfall documented on
+#: shingle_table).
+_SPARK_TOKEN_HASHES = (
+    "transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+
 _SPARK_SIMHASH = """
-aggregate(
-  sequence(0, 59), 0L,
-  (acc, b) -> acc + IF(
-      aggregate(toks, 0,
-        (s, t) -> s + CAST((shiftright(CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT), b) & 1) * 2 - 1 AS INT)
-      ) > 0,
-      shiftleft(1L, 59 - b), 0L))
+IF(size(hs) >= 0,
+  aggregate(
+    sequence(0, 59), 0L,
+    (acc, b) -> acc + IF(
+        aggregate(hs, 0, (s, hv) -> s + CAST(((shiftright(hv, b)) & 1) * 2 - 1 AS INT)) > 0,
+        shiftleft(1L, 59 - b), 0L)),
+  0L)
 """
 
 _DUCK_SIMHASH = """
 CAST(list_sum(list_transform(range(0, 60), b -> CASE WHEN
-    list_sum(list_transform(toks, t ->
-        ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) > 0
+    list_sum(list_transform(hs, hv -> ((hv >> b) & 1) * 2 - 1)) > 0
     THEN (1::BIGINT << (59 - b)) ELSE 0 END)) AS BIGINT)
 """
 
@@ -334,7 +369,12 @@ CAST(list_sum(list_transform(range(0, 60), b -> CASE WHEN
                list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
         FROM documents
     ),
-    s AS (SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM d),
+    dh AS (
+        SELECT doc_id,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM d
+    ),
+    s AS (SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM dh),
     bands AS (
         SELECT doc_id, simhash, unnest(range(0, 4)) AS band_idx,
                (simhash >> (CAST(unnest(range(0, 4)) AS INTEGER) * 15)) & 32767 AS band
@@ -360,7 +400,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
     )
-    s = d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    dh = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hs"))
+    s = dh.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
     bands = s.select(
         "doc_id",
         "simhash",

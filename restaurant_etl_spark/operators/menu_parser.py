@@ -320,7 +320,12 @@ def parse_menu_documents(docs: DataFrame, doc_id: str = "doc_id", text: str = "t
     description agg — linear in corpus size, no driver-side loops; at 100 TB
     the doc_id partitioning carries every stage.
     """
-    lines = split_lines(docs, doc_id, text)
+    from restaurant_etl_spark.session import fan_out
+
+    # the per-line regex battery is the most expensive map in the repo;
+    # AQE's byte-based coalescing would happily run it one-core on small
+    # inputs, so pin the parse at full width
+    lines = split_lines(fan_out(docs, doc_id), doc_id, text)
     items = assemble_items(lines, attach_descriptions)
     return finalize_items(items, currency_default)
 

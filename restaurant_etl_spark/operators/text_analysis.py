@@ -27,7 +27,10 @@ _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    from restaurant_etl_spark.session import fan_out
+
+    # tokenize/score work is per-row CPU: spread the narrow scan first
+    return fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 def _tokens(text: Column) -> Column:

@@ -64,6 +64,27 @@ def get_spark(
     return spark
 
 
+def fan_out(df, *keys: str):
+    """Hash-repartition to the session's full parallelism before a
+    CPU-heavy per-row derivation (regex menu parse, per-shingle digests,
+    per-token simhash).
+
+    Why unconditional: the two ways a plan arrives narrow are (a) a small
+    single-row-group parquet file = one scan task, and (b) AQE's
+    advisory-size coalescing, which measures BYTES and happily merges a
+    2 MB / 2000-doc partition that carries minutes of per-row CPU. An
+    explicit numPartitions is exempt from AQE coalescing, so this pins the
+    expensive map at full width in both cases. The trade is one shuffle of
+    the RAW rows against running the dominant map stage on every core —
+    worth it whenever the per-row work is ≥ a few µs, which is the only
+    situation this helper is used in. Hash keys keep placement
+    deterministic; downstream aggregates are key-partitioned so results
+    never depend on this layout."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target, *[df[k] for k in keys]) if keys else df.repartition(target)
+
+
 #: per-key cache of the ONE DataFrame each call site keeps persisted
 _SCOPED: dict[str, object] = {}
 
