@@ -361,6 +361,26 @@ CAST(list_sum(list_transform(range(0, 60), b -> CASE WHEN
 """
 
 
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash, band_idx, band): per-doc 60-bit SimHash split into
+    4×15-bit bands for blocking."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
+    )
+    dh = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hs"))
+    s = dh.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    return s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(32767)).alias(f"b{k}")
+                for k in range(4)
+            ])
+        ).alias("band_idx", "band"),
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -397,21 +417,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sign of per-bit vote), 4×15-bit band blocking, Hamming ≤ 6 verify.
     Signature is one narrow higher-order expression; the join is bounded by
     band-bucket sizes."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("toks")
-    )
-    dh = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hs"))
-    s = dh.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
-    bands = s.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(32767)).alias(f"b{k}")
-                for k in range(4)
-            ])
-        ).alias("band_idx", "band"),
-    )
+    bands = _simhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -428,4 +434,147 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale-shaped outputs: keep-lists and duplicate clusters
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_simhash_keep",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+        FROM documents
+    ),
+    dh AS (
+        SELECT doc_id,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM d
+    ),
+    s AS (SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 60), b -> CASE WHEN
+        list_sum(list_transform(hs, hv -> ((hv >> b) & 1) * 2 - 1)) > 0
+        THEN (1::BIGINT << (59 - b)) ELSE 0 END)) AS BIGINT)
+    AS simhash FROM dh),
+    bands AS (
+        SELECT doc_id, unnest(range(0, 4)) AS band_idx,
+               (simhash >> (CAST(unnest(range(0, 4)) AS INTEGER) * 15)) & 32767 AS band
+        FROM s
+    ),
+    bmin AS (SELECT band_idx, band, min(doc_id) AS bucket_min FROM bands GROUP BY 1, 2)
+    SELECT b.doc_id,
+           min(m.bucket_min) AS canonical_id,
+           min(m.bucket_min) = b.doc_id AS is_kept
+    FROM bands b JOIN bmin m ON b.band_idx = m.band_idx AND b.band = m.band
+    GROUP BY b.doc_id
+    """,
+    category="dedup",
+)
+def dedup_simhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped SimHash dedup: instead of emitting every near-dup
+    PAIR (O(cluster²) rows — `dedup_simhash` is the exact-pairs baseline),
+    map each doc to the min doc_id sharing any of its 4 LSH buckets and emit
+    one keep/drop row per document. Two key-partitioned aggregations, output
+    linear in the corpus. Single-pass (one-hop) canonicalization: a doc's
+    canonical may itself be dropped in favor of a smaller id — the
+    transitive closure is `dedup_components`' job."""
+    bands = _simhash_bands(spark, sf_dir).select("doc_id", "band_idx", "band")
+    bmin = bands.groupBy("band_idx", "band").agg(F.min("doc_id").alias("bucket_min"))
+    return (
+        bands.join(bmin, ["band_idx", "band"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("bucket_min").alias("canonical_id"),
+            (F.min("bucket_min") == F.first("doc_id")).alias("is_kept"),
+        )
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    r AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+    ),
+    comp AS (SELECT doc_id, min(reach) AS component_id FROM r GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS cluster_size,
+           doc_id = component_id AS is_canonical
+    FROM comp
+    """,
+    category="dedup",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS: connected components over the
+    exact-Jaccard pair graph via Hash-Min label propagation — each round
+    every node adopts the minimum component label among itself and its
+    neighbors, converging in O(graph diameter) rounds. The iterative
+    fixpoint is genuinely beyond single-pass SQL; the oracle replays it
+    with a recursive CTE, so even this is value-checked.
+
+    Scale: each round is one shuffle join on doc_id + one aggregation —
+    the standard large-graph CC pattern (no GraphX dependency).
+    localCheckpoint() truncates the doubling lineage each round, and the
+    driver-side convergence test reads a single scalar per round. Near-dup
+    graphs have tiny diameters (dup clusters are dense), so rounds ≈ 3-4."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = _exact_jaccard_pairs(shingle_table(_docs(spark, sf_dir)), JACCARD_THRESHOLD)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    while True:
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        merged = labels.join(prop, labels["doc_id"] == prop["dst"], "left").select(
+            labels["doc_id"],
+            labels["comp"].alias("old"),
+            F.least(labels["comp"], F.coalesce(F.col("ncomp"), labels["comp"])).alias("comp"),
+        )
+        merged = merged.localCheckpoint()
+        changed = merged.filter(F.col("comp") != F.col("old")).count()
+        labels = merged.select("doc_id", "comp")
+        if changed == 0:
+            break
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+    ).select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
