@@ -189,3 +189,77 @@ def udf_row_at_a_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity = F.udf(lambda s: "even" if len(s) % 2 == 0 else "odd", "string")
     n = _t(spark, sf_dir, "nation")
     return n.select("n_name", F.length("n_name").alias("name_len"), parity("n_name").alias("parity"))
+
+
+@register(
+    "udtf_chunk_split",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i * 50 + 1 : i * 50 + 50], ' ') AS chunk,
+           CAST(least(50, len(toks) - i * 50) AS INTEGER) AS n_toks
+    FROM d, range(0, 1000) t(i)
+    WHERE i * 50 < len(toks)
+    """,
+    category="udf",
+)
+def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row fans out to N
+    output rows — 50-token chunks per document, applied via LATERAL over
+    the documents table. Completes the extension surface beyond scalar /
+    agg / map / grouped-map UDFs with the table-valued form. Arrow-batched
+    like every Python boundary; the chunking itself mirrors the reference's
+    2000-char splitter (restaurant_etl/utils/chunking concept) in
+    token-window form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_toks int")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(0, len(toks), 50):
+                c = toks[i : i + 50]
+                yield i // 50, " ".join(c), len(c)
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.chunk_idx, f.chunk, f.n_toks
+        FROM udtf_docs d, LATERAL chunk_udtf(d.text) f
+        """
+    )
+
+
+@register(
+    "lateral_topn_per_nation",
+    oracle="""
+    SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+    category="relational",
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 customers per nation): Catalyst
+    decorrelates this into a join + per-key limit rather than re-executing
+    the subquery per outer row — same plan family as the window top-k, but
+    exercised through the SQL LATERAL surface both engines share."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM lat_nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
