@@ -57,10 +57,14 @@ HEADLINE = [
     # extension surface (registered in later milestones)
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_simhash_keep",
     "similarity_topk_cosine",
+    "similarity_ivf_sqrtn_topk",
+    "embedding_quantize_int8",
     "text_quality_score",
     "text_tfidf_top_terms",
     "stream_session_windows_batch",
+    "stream_stream_interval_join_batch",
 ]
 
 
