@@ -349,3 +349,46 @@ def stream_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "sliding_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
     run_available_now(sliding_counts(events_file_stream(spark, src)), table, "complete")
     return spark.table(table)
+
+
+@register(
+    "stream_stateful_running_totals_live",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
+def stream_stateful_running_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL custom stateful operator oracle-checked end-to-end:
+    ``applyInPandasWithState`` holds one (count, sum) pair per user across
+    micro-batches and emits the updated changelog row each batch. After the
+    availableNow drain, the LAST update per user (max n_events — counts are
+    monotone) must equal the plain batch aggregate, however many
+    micro-batches the replay took. Proves state survives batch boundaries
+    with values identical to the declarative computation."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from restaurant_etl_spark.streaming import (
+        events_file_stream,
+        run_available_now,
+        stage_events_source,
+    )
+    from restaurant_etl_spark.streaming.jobs import running_user_totals
+
+    src = stage_events_source(spark, sf_dir)
+    table = "stateful_live_" + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    run_available_now(
+        running_user_totals(events_file_stream(spark, src)), table, "append"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(table)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    )
