@@ -349,3 +349,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingles).alias("min_shingle_hash"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("vocab_hash"),
     )
+
+
+@register(
+    "corpus_clean_keep",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop,
+               regexp_matches(text, '[^\\x00-\\x7F]') AS non_ascii,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_hash
+        FROM t
+    ), flags AS (
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               round(n_distinct / n_tokens, 4) AS type_token_ratio,
+               n_tokens >= 20 AND n_stop / n_tokens BETWEEN 0.01 AND 0.6
+                   AND n_distinct / n_tokens >= 0.2 AS quality_ok,
+               NOT non_ascii AND n_stop / n_tokens >= 0.05 AS is_en,
+               doc_id = min(doc_id) OVER (PARTITION BY vocab_hash) AS is_kept
+        FROM s
+    )
+    SELECT doc_id, n_tokens, type_token_ratio
+    FROM flags
+    WHERE quality_ok AND is_en AND is_kept
+    """,
+    category="text",
+)
+def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in one plan: quality
+    gate (length / stopword-ratio / type-token-ratio) ∩ language gate
+    (ASCII + English stopword density) ∩ exact-dedup survivors (min doc_id
+    per content digest). Composes three registered operators by doc_id
+    equi-joins — at 100 TB each gate is a narrow map or one key shuffle,
+    and Catalyst collapses the shared document scan. This is the corpus a
+    pretraining run would actually ingest."""
+    from restaurant_etl_spark.operators.dedup import dedup_exact_documents
+
+    q = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality_band") == "keep")
+        .select("doc_id", "n_tokens", "type_token_ratio")
+    )
+    lang = (
+        text_lang_id(spark, sf_dir)
+        .filter(F.col("guessed_lang") == "en")
+        .select("doc_id")
+    )
+    kept = (
+        dedup_exact_documents(spark, sf_dir)
+        .filter(F.col("is_kept"))
+        .select("doc_id")
+    )
+    return q.join(lang, "doc_id").join(kept, "doc_id")
