@@ -498,6 +498,11 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
         .select(F.col("cell_id").alias("c_cell"), "cv")
     )
+    # the centroid table is √n × 64 doubles (~tiny at any scale) but its
+    # lineage is the whole seed+Lloyd pass; it feeds BOTH the inverted file
+    # and the query probes, so materialize it once instead of re-running
+    # the refinement per consumer
+    cent = cent.localCheckpoint(eager=True)
 
     # inverted file against the refined centroids
     sa = e.crossJoin(F.broadcast(cent)).select(
