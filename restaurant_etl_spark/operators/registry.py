@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal_queries,
         relational,
         reshape_extra,
+        sampling,
         scalar_extra,
         similarity,
         streaming_batch,
