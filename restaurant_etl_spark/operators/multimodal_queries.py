@@ -79,3 +79,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.abs(F.sqrt(sq_norm) - 1.0) < 1e-3).alias("unit_norm"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, length(text) AS n FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) > 0
+    ), p AS (
+        SELECT doc_id, n, n % 640 AS w, n % 480 AS h,
+               greatest(1, greatest(n % 640, n % 480) // 64) AS scale
+        FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(w // scale AS INTEGER) AS thumb_w,
+           CAST(h // scale AS INTEGER) AS thumb_h,
+           CAST((n + scale * 4 - 1) // (scale * 4) AS INTEGER) AS n_thumb_bytes
+    FROM p
+    """,
+    category="multimodal",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image thumbnailing through the binary-in/binary-out mapInPandas seam
+    (STUB resampler: strided byte take). The oracle states the thumbnail
+    geometry and byte count in closed form, pinning the Arrow batch shape,
+    the metadata-struct plumbing, and the stride arithmetic."""
+    from restaurant_etl_spark.sources.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+    )
+    thumbs = resize_images(media_from_documents(docs))
+    return thumbs.select(
+        "media_id",
+        "thumb_w",
+        "thumb_h",
+        F.length("thumb").cast("int").alias("n_thumb_bytes"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, length(text) AS n FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) > 0
+    ), p AS (
+        SELECT doc_id, n,
+               greatest(1, (n * 10) // 1000) AS n_frames
+        FROM m
+    ), f AS (
+        SELECT doc_id, n, n_frames,
+               greatest(1, n // n_frames) AS step,
+               unnest(range(0, n_frames)) AS frame_idx
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(CASE WHEN greatest(0, least(n - frame_idx * step, step)) = 0
+                     THEN 1
+                     ELSE least(n - frame_idx * step, step) END AS INTEGER) AS n_frame_bytes
+    FROM f
+    """,
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (one frame per second of duration metadata)
+    through mapInPandas — the row-explode path of the multimodal surface.
+    The oracle replays the frame count, stride, and per-frame byte length
+    arithmetic exactly."""
+    from restaurant_etl_spark.sources.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") > 0)
+    )
+    frames = sample_frames(media_from_documents(docs))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("n_frame_bytes"),
+    )
