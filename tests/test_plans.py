@@ -123,3 +123,35 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         F.col("event_type") == "purchase"
     ).count()
     assert df.count() == expected
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark, sf_dir):
+    """The enrichment dimension must broadcast: the (unbounded) stream side
+    never shuffles, which is what makes the pattern deployable on a real
+    stream."""
+    plan = _plan(spark, sf_dir, "stream_static_enrich_batch")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_hash_join_on_user(spark, sf_dir):
+    """The stream-stream interval join must hash-partition on user_id with
+    the time bound as a residual predicate — never a nested-loop/cartesian
+    fallback."""
+    plan = _plan(spark, sf_dir, "stream_stream_interval_join_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_normalize_is_pure_map(spark, sf_dir):
+    """L2 normalization is a narrow projection: any Exchange here would be
+    a 100 TB shuffle for a per-row computation."""
+    plan = _plan(spark, sf_dir, "embedding_l2_normalize")
+    assert "Exchange" not in plan
+
+
+def test_dataset_split_is_pure_map(spark, sf_dir):
+    """Train/val/test assignment is one scan + projection — no shuffle, no
+    aggregation."""
+    plan = _plan(spark, sf_dir, "split_train_val_test")
+    assert "Exchange" not in plan
