@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     from restaurant_etl_spark.operators import (  # noqa: F401
         dedup,
         embedding_prep,
+        event_analytics,
         io_formats,
         menu,
         multimodal_queries,
