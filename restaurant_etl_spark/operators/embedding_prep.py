@@ -66,12 +66,19 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever consumes it (cosine ANN wants unit vectors so dot == cosine).
     The unit vector is emitted as ×1e5 scaled integers (driver-hashable)."""
     e = _emb(spark, sf_dir)
-    dv = _dvec("embedding")
-    nrm = _norm(dv)
-    unit = F.transform(dv, lambda x: F.round(x / nrm * 100000).cast("long").cast("string"))
-    return e.select(
+    # materialize the vector and its norm as columns BEFORE the per-element
+    # lambda references them: multi-referenced aliases survive
+    # CollapseProject, so the norm aggregate runs once per row instead of
+    # being inlined and re-evaluated per element (the Catalyst pitfall
+    # documented on dedup.shingle_table)
+    t = e.select("vec_id", _dvec("embedding").alias("dv"))
+    t = t.select("vec_id", "dv", _norm(F.col("dv")).alias("nrm"))
+    unit = F.transform(
+        F.col("dv"), lambda x: F.round(x / F.col("nrm") * 100000).cast("long").cast("string")
+    )
+    return t.select(
         "vec_id",
-        F.round(nrm, 5).alias("norm"),
+        F.round("nrm", 5).alias("norm"),
         F.array_join(unit, ",").alias("unit_vec_scaled"),
     )
 
@@ -102,19 +109,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard. Emits the quantized codes plus the L1 reconstruction error so the
     quality loss is observable. Pure map stage — scales linearly."""
     e = _emb(spark, sf_dir)
-    dv = _dvec("embedding")
-    amax = F.array_max(F.transform(dv, F.abs))
-    scale = F.lit(127.0) / amax
-    q = F.transform(dv, lambda x: F.round(x * scale).cast("long"))
+    # same materialization discipline as embedding_l2_normalize: scale (an
+    # array_max aggregate) must be a column before the lambdas reference it,
+    # or it re-evaluates per element
+    t = e.select("vec_id", _dvec("embedding").alias("dv"))
+    t = t.select(
+        "vec_id",
+        "dv",
+        (F.lit(127.0) / F.array_max(F.transform(F.col("dv"), F.abs))).alias("scale"),
+    )
+    t = t.select(
+        "vec_id",
+        "dv",
+        "scale",
+        F.transform(F.col("dv"), lambda x: F.round(x * F.col("scale")).cast("long")).alias("q"),
+    )
     err = F.aggregate(
-        F.zip_with(dv, q, lambda x, qx: F.abs(x - qx / scale)),
+        F.zip_with(F.col("dv"), F.col("q"), lambda x, qx: F.abs(x - qx / F.col("scale"))),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return e.select(
+    return t.select(
         "vec_id",
-        F.round(scale, 5).alias("scale"),
-        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q8"),
+        F.round("scale", 5).alias("scale"),
+        F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",").alias("q8"),
         F.round(err, 4).alias("recon_err_l1"),
     )
 
