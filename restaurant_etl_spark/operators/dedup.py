@@ -578,3 +578,52 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               array_to_string(
+                   (list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))[1:3],
+                   ' ') AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS lev,
+           round(levenshtein(a.text, b.text)
+                 / greatest(length(a.text), length(b.text)), 4) AS rel_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text)
+          <= 0.1 * greatest(length(a.text), length(b.text))
+    """,
+    category="dedup",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs via blocking join (SURVEY §2B's
+    "levenshtein + blocking" alternative to shingle methods): candidates
+    share their first-3-token block key (one shuffle), then exact
+    levenshtein ≤ 10% of the longer text verifies. Levenshtein is O(len²)
+    per pair — the blocking keeps it off all-pairs; a production corpus
+    would also cap block sizes the way _exact_jaccard_pairs caps posting
+    lists (a boilerplate prefix is the same hot-key risk)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(_toks(F.col("text")), 1, 3), " ").alias("blk"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    mx = F.greatest(F.length("a.text"), F.length("b.text"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(lev <= 0.1 * mx)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+            F.round(lev / mx, 4).alias("rel_dist"),
+        )
+    )

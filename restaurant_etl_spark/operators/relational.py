@@ -449,3 +449,38 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         inclusive=True,
     )
     return joined.select("event_id", "user_id", "ts", "last_view_ts")
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(o.o_orderkey)         AS n_orders_1995h1
+    FROM (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1995-07-01') o
+    RIGHT JOIN customer c
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+    category="relational",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (the mirror of join_left_outer, preserving the
+    customer side from the right slot) — completes the outer-join matrix.
+    Catalyst plans it as the same join with sides swapped; results must
+    match the LEFT formulation exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders_1995h1"),
+        )
+    )
