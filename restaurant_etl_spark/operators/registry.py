@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         io_formats,
         menu,
         multimodal_queries,
+        profiling,
         relational,
         reshape_extra,
         sampling,
