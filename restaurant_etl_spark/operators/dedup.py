@@ -627,3 +627,57 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lev / mx, 4).alias("rel_dist"),
         )
     )
+
+
+@register(
+    "dedup_minhash_keep",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, {XOR_SALTS[i]})) AS h{i}"
+                   for i in range(N_HASHES)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {k} AS band_idx, "
+            f"h{3*k}::VARCHAR || '|' || h{3*k+1}::VARCHAR || '|' || h{3*k+2}::VARCHAR AS band FROM sig"
+            for k in range(N_BANDS)
+        )}
+    ),
+    bmin AS (SELECT band_idx, band, min(doc_id) AS bucket_min FROM bands GROUP BY 1, 2)
+    SELECT b.doc_id,
+           min(m.bucket_min) AS canonical_id,
+           min(m.bucket_min) = b.doc_id AS is_kept
+    FROM bands b JOIN bmin m ON b.band_idx = m.band_idx AND b.band = m.band
+    GROUP BY b.doc_id
+    """,
+    category="dedup",
+)
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH keep-list (the scale-shaped sibling of dedup_minhash_lsh,
+    mirroring dedup_simhash_keep): one keep/drop row per document via the
+    min doc_id over its 3 band buckets. Same signature pipeline as the
+    pair query, two key-partitioned aggregations, linear output — the form
+    a 100 TB shingle-based dedup actually ships to the corpus filter."""
+    sh = shingle_table(_docs(spark, sf_dir))
+    sig = minhash_signatures(sh)
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.element_at("sig", 3 * k + r + 1).cast("string") for r in range(BAND_ROWS)]
+        ).alias(f"b{k}")
+        for k in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band"))
+    bmin = bands.groupBy("band_idx", "band").agg(F.min("doc_id").alias("bucket_min"))
+    return (
+        bands.join(bmin, ["band_idx", "band"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("bucket_min").alias("canonical_id"),
+            (F.min("bucket_min") == F.first("doc_id")).alias("is_kept"),
+        )
+    )
