@@ -45,9 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    Read nanos as LONG (legacy conf) and truncate to microseconds — exactly
-    what DuckDB does when it surfaces the column as TIMESTAMP (µs)."""
+    """Normalize events.ts to TIMESTAMP for every physical encoding the driver
+    has shipped so far:
+
+    - parquet TIMESTAMP(NANOS): Spark's reader rejects it outright, so read
+      nanos as LONG (legacy conf) and truncate to microseconds — exactly what
+      DuckDB does when it surfaces the column as TIMESTAMP (µs);
+    - parquet µs tz-naive: Spark ≥4 reads it as TIMESTAMP_NTZ, which breaks
+      ``unix_micros`` and streaming ``withWatermark``; cast to TIMESTAMP —
+      value-identical under the UTC session pinned in ``load_table``;
+    - parquet µs UTC-adjusted: already TIMESTAMP, pass through.
+
+    Downstream code can therefore assume ``ts`` is always ``timestamp``."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,6 +64,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -29,6 +29,11 @@ from restaurant_etl_spark.sources.tables import load_table
 WATERMARK = "30 minutes"
 SESSION_GAP = "30 minutes"
 
+#: bump when the staged-events FORMAT changes (not just the source data) —
+#: v2: ts normalized to TIMESTAMP (µs, UTC-adjusted). Keyed into the staging
+#: fingerprint so a directory staged by older code is never silently reused.
+STAGED_EVENTS_VERSION = "v2"
+
 
 def stage_events_source(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
     """Materialize events as a micros-timestamp parquet directory usable as
@@ -50,15 +55,31 @@ def stage_events_source(spark: SparkSession, sf_dir: str, out_dir: str | None = 
 
     base = stage_once(
         f"events_stream_src_{os.path.basename(os.path.normpath(sf_dir))}",
-        source_fingerprint(os.path.join(sf_dir, "events.parquet")),
+        f"{STAGED_EVENTS_VERSION}_{source_fingerprint(os.path.join(sf_dir, 'events.parquet'))}",
         build,
     )
     return os.path.join(base, "data")
 
 
 def events_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """readStream over a staged events directory (schema from the footer)."""
-    schema = spark.read.parquet(src_dir).schema
+    """readStream over a staged events directory (schema from the footer).
+
+    Defense in depth against encoding drift: if the footer carries
+    TIMESTAMP_NTZ (tz-naive µs parquet — a stale stage or foreign file),
+    declare the column as TIMESTAMP in the reader schema instead. The
+    parquet reader accepts it, the micros values are identical under the
+    UTC session, and ``withWatermark`` requires TIMESTAMP."""
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+    inferred = spark.read.parquet(src_dir).schema
+    schema = StructType(
+        [
+            StructField(f.name, TimestampType(), f.nullable)
+            if isinstance(f.dataType, TimestampNTZType)
+            else f
+            for f in inferred.fields
+        ]
+    )
     return spark.readStream.schema(schema).parquet(src_dir)
 
 

@@ -58,34 +58,46 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        # The real driver canonicalizes with pandas sort_values, which dies
-        # on list/dict cell values — flag complex output types as failures.
-        complex_cols = [
-            f.name
-            for f in sdf.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
-        if complex_cols:
+        # per-query fault isolation: an AnalysisException in one query must
+        # not abort the sweep — report it and keep going (VERDICT r3 #10)
+        try:
+            _run_one(name, fn, spark, sf_dir, oracles, con, canonicalize, failures)
+        except Exception as exc:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: complex-typed output columns {complex_cols}")
-            continue
-        srows = [tuple(r) for r in sdf.collect()]
-        if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows")
-            continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        s = canonicalize(sdf.columns, srows)
-        d = canonicalize(dcols, drows)
-        status = "ok " if s == d else "FAIL"
-        if s != d:
-            failures.append(name)
-        print(f"{status}  {name}: spark={s[2]} duck={d[2]} hash {'match' if s[1]==d[1] else 'MISMATCH'}")
+            print(f"ERR   {name}: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
 
     print(f"\nDRIVER-SIM: {len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
+
+
+def _run_one(name, fn, spark, sf_dir, oracles, con, canonicalize, failures) -> None:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sdf = fn(spark, sf_dir)
+    # The real driver canonicalizes with pandas sort_values, which dies
+    # on list/dict cell values — flag complex output types as failures.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        failures.append(name)
+        print(f"FAIL  {name}: complex-typed output columns {complex_cols}")
+        return
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        print(f"rows-only  {name}: {len(srows)} rows")
+        return
+    res = con.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    s = canonicalize(sdf.columns, srows)
+    d = canonicalize(dcols, drows)
+    status = "ok " if s == d else "FAIL"
+    if s != d:
+        failures.append(name)
+    print(f"{status}  {name}: spark={s[2]} duck={d[2]} hash {'match' if s[1]==d[1] else 'MISMATCH'}")
 
 
 if __name__ == "__main__":

@@ -149,3 +149,91 @@ def test_timestamped_output_filename(spark, tmp_path):
     )
     assert written.endswith("great_india_extracted_20240101_120000.csv")
     assert spark.read.option("header", True).csv(written).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Environment-drift guard (VERDICT r3 §next #3): the driver has shipped
+# events.ts in three physical parquet encodings across rounds —
+# TIMESTAMP(NANOS) (Spark reads bigint under nanosAsLong), µs tz-naive
+# (Spark ≥4 reads TIMESTAMP_NTZ), and µs UTC-adjusted (plain TIMESTAMP).
+# A regeneration or Spark upgrade must never silently break `unix_micros`
+# or streaming `withWatermark` again: every encoding must normalize to
+# TIMESTAMP at the loader, and the staged stream source must analyze.
+# ---------------------------------------------------------------------------
+
+_TS_ENCODINGS = ("ns_naive", "us_ntz", "us_utc")
+
+
+def _write_events_fixture(path: str, encoding: str) -> None:
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2, 3],
+        "user_id": [10, 10, 11],
+        "event_type": ["view", "click", "purchase"],
+        "ts": [base, base + datetime.timedelta(minutes=5), base + datetime.timedelta(minutes=9)],
+        "value": [1.0, 2.5, 9.9],
+    }
+    unit_tz = {
+        "ns_naive": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+    }[encoding]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", unit_tz),
+            ("value", pa.float64()),
+        ]
+    )
+    tbl = pa.Table.from_pydict(rows, schema=schema)
+    # version 2.6 preserves nanosecond timestamps as TIMESTAMP(NANOS)
+    pq.write_table(tbl, path, version="2.6", coerce_timestamps=None)
+
+
+@pytest.mark.parametrize("encoding", _TS_ENCODINGS)
+def test_events_ts_normalizes_to_timestamp(spark, tmp_path, encoding):
+    from restaurant_etl_spark.sources.tables import load_table
+
+    sf_dir = tmp_path / encoding
+    sf_dir.mkdir()
+    _write_events_fixture(str(sf_dir / "events.parquet"), encoding)
+
+    df = load_table(spark, str(sf_dir), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        f"{encoding}: events.ts must normalize to TIMESTAMP, got {dict(df.dtypes)['ts']}"
+    )
+    # values must agree across encodings (UTC session pinned in load_table)
+    got = sorted((r["event_id"], r["ts"].isoformat()) for r in df.collect())
+    assert got == [
+        (1, "2024-01-01T12:00:00"),
+        (2, "2024-01-01T12:05:00"),
+        (3, "2024-01-01T12:09:00"),
+    ]
+    # unix_micros — the exact call that broke 4 queries in round 3
+    micros = df.select(F.unix_micros("ts").alias("us")).agg(F.min("us")).collect()[0][0]
+    assert micros == 1704110400000000
+
+
+@pytest.mark.parametrize("encoding", _TS_ENCODINGS)
+def test_events_stream_source_watermark_analyzes(spark, tmp_path, encoding):
+    """withWatermark on the staged stream source must analyze for every
+    physical encoding (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE guard)."""
+    from restaurant_etl_spark.streaming.jobs import events_file_stream, stage_events_source
+
+    sf_dir = tmp_path / encoding
+    sf_dir.mkdir()
+    _write_events_fixture(str(sf_dir / "events.parquet"), encoding)
+
+    staged = stage_events_source(spark, str(sf_dir), out_dir=str(tmp_path / f"{encoding}_staged"))
+    stream = events_file_stream(spark, staged)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # DataFrame ops are eagerly analyzed: this line IS the assertion that
+    # the watermark attaches (it raised on TIMESTAMP_NTZ in round 3)
+    stream.withWatermark("ts", "10 minutes")
