@@ -475,6 +475,41 @@ _DUCK_COS = (
     f" / ({_DUCK_NORM.format(a='{a}')} * {_DUCK_NORM.format(a='{b}')}), 4)"
 )
 
+#: Lloyd refinement rounds for the sqrt(n)-cell IVF (VERDICT r3 #7).
+LLOYD_ROUNDS = 2
+
+
+def _duck_lloyd_rounds(rounds: int) -> str:
+    """Generate the oracle's Lloyd chain: assign to the previous round's
+    centroids, recompute per-cell per-dim means. cent0 = raw seed vectors;
+    cells that lose every member simply drop out of the groupBy (both
+    engines agree), so every surviving cell is non-empty by construction."""
+    parts = []
+    for r in range(rounds):
+        prev = "seeds" if r == 0 else f"cent{r}"
+        prev_cell = "cell_id" if r == 0 else "c_cell"
+        prev_vec = "sv" if r == 0 else "cv"
+        parts.append(f"""
+    assign{r} AS (
+        SELECT vec_id, cell_id, v FROM (
+            SELECT e.vec_id, p.{prev_cell} AS cell_id, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round({_DUCK_DOT.format(a='e.v', b=f'p.{prev_vec}')}
+                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a=f'p.{prev_vec}')}), 4) DESC,
+                       p.{prev_cell}) AS rn
+            FROM e CROSS JOIN {prev} p) t
+        WHERE rn = 1
+    ),
+    ex{r} AS (
+        SELECT cell_id, unnest(range(1, {DIM + 1})) AS i,
+               unnest(list_transform(v, x -> x::DOUBLE)) AS x
+        FROM assign{r}
+    ),
+    dims{r} AS (SELECT cell_id, i, avg(x) AS c FROM ex{r} GROUP BY cell_id, i),
+    cent{r + 1} AS (SELECT cell_id AS c_cell, list(round(c, 6) ORDER BY i) AS cv
+                    FROM dims{r} GROUP BY cell_id)""")
+    return ",".join(parts)
+
 
 @register(
     "similarity_ivf_sqrtn_topk",
@@ -485,23 +520,8 @@ _DUCK_COS = (
         SELECT vec_id AS cell_id, v AS sv FROM e, tot
         WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % m = 0
     ),
-    assign0 AS (
-        SELECT vec_id, cell_id, v FROM (
-            SELECT e.vec_id, s.cell_id, e.v,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round({_DUCK_DOT.format(a='e.v', b='s.sv')}
-                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='s.sv')}), 4) DESC,
-                       s.cell_id) AS rn
-            FROM e CROSS JOIN seeds s) t
-        WHERE rn = 1
-    ),
-    ex AS (
-        SELECT cell_id, unnest(range(1, {DIM + 1})) AS i,
-               unnest(list_transform(v, x -> x::DOUBLE)) AS x
-        FROM assign0
-    ),
-    dims AS (SELECT cell_id, i, avg(x) AS c FROM ex GROUP BY cell_id, i),
-    cent AS (SELECT cell_id AS c_cell, list(round(c, 6) ORDER BY i) AS cv FROM dims GROUP BY cell_id),
+    {_duck_lloyd_rounds(LLOYD_ROUNDS)},
+    cent AS (SELECT c_cell, cv FROM cent{LLOYD_ROUNDS}),
     assign AS (
         SELECT vec_id, c_cell FROM (
             SELECT e.vec_id, c.c_cell,
@@ -544,9 +564,11 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 flagged the label-tied variant as the scale gap). Seeds are picked by
     a pure deterministic hash filter (md5(vec_id) % ceil(√n) == 0): no
     global sort, no sampling state, expected √n seeds, replayable in the
-    oracle. One Lloyd refinement (assign-to-seed → per-cell per-dim means)
-    turns seeds into k-means-style centroids; a production build would loop
-    this stage. Queries probe nprobe=3 cells, exact rank inside cells only:
+    oracle. LLOYD_ROUNDS Lloyd refinements (assign-to-centroid → per-cell
+    per-dim means, cent0 = raw seeds) turn seeds into k-means-style
+    centroids; cells that lose every member drop out of the groupBy, so
+    every surviving cell is non-empty — the deterministic equivalent of
+    empty-cell elimination. Queries probe nprobe=3 cells, exact rank inside cells only:
     per-query work is nprobe/ncells of the corpus, centroids stay a
     broadcast table at √n × 64 doubles (~5 MB even at 10⁹ vectors)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
@@ -559,32 +581,35 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
     )
 
-    # one Lloyd iteration: nearest seed, then cell centroids = per-dim means
-    a0 = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "v", "cell_id",
-        F.round(cosine(_dvec("v"), _dvec("sv")), 4).alias("cos"),
-    )
-    w0 = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cell_id")
-    assign0 = (
-        a0.withColumn("rn", F.row_number().over(w0))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell_id")
-    )
-    dims = (
-        assign0.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
-        .groupBy("cell_id", "i")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-    cent = (
-        dims.groupBy("cell_id")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
-        .select(F.col("cell_id").alias("c_cell"), "cv")
-    )
-    # the centroid table is √n × 64 doubles (~tiny at any scale) but its
-    # lineage is the whole seed+Lloyd pass; it feeds BOTH the inverted file
-    # and the query probes, so materialize it once instead of re-running
-    # the refinement per consumer
-    cent = cent.localCheckpoint(eager=True)
+    # Lloyd refinement loop: assign to the previous round's centroids,
+    # recompute per-cell per-dim means. cent0 = raw seed vectors. The
+    # centroid table is √n × 64 doubles (~tiny at any scale) but its
+    # lineage grows a full corpus pass per round, so materialize AFTER
+    # EACH round — every assignment pass then broadcasts a flat table
+    # instead of re-running the previous rounds.
+    cent = seeds.select(F.col("cell_id").alias("c_cell"), _dvec("sv").alias("cv"))
+    for _ in range(LLOYD_ROUNDS):
+        a_r = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_cell",
+            F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+        )
+        w_r = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
+        assign_r = (
+            a_r.withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("c_cell").alias("cell_id"))
+        )
+        dims = (
+            assign_r.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
+            .groupBy("cell_id", "i")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        cent = (
+            dims.groupBy("cell_id")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
+            .select(F.col("cell_id").alias("c_cell"), "cv")
+        )
+        cent = cent.localCheckpoint(eager=True)
 
     # inverted file against the refined centroids
     sa = e.crossJoin(F.broadcast(cent)).select(

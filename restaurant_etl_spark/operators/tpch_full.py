@@ -400,45 +400,39 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order
-    pattern — EXISTS (another supplier in the order) AND NOT EXISTS
-    (another LATE supplier in the order), as one semi + one anti join.
-    No receipt/commit dates in this dataset: "late" = shipped >90 days
-    after the order date."""
+    pattern. No receipt/commit dates in this dataset: "late" = shipped
+    >90 days after the order date.
+
+    Single-aggregation rewrite (VERDICT r3 #6): instead of EXISTS/NOT
+    EXISTS as a semi + anti double pass over lineitem (two wide joins),
+    aggregate ONCE per order — distinct supplier count, distinct LATE
+    supplier count, and the late supplier's key — then keep orders with
+    >1 supplier and exactly 1 late one. One shuffle on l_orderkey carries
+    the whole decision; max(late_supp) is well-defined because the filter
+    pins n_late = 1. At 100 TB this halves lineitem traffic vs the
+    join-based form and the orderkey shuffle co-partitions with the
+    orders join that feeds it."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    late = (
+    is_late = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        > 90 * 86400 * 1_000_000
+    )
+    late_supp = F.when(is_late, F.col("l_suppkey"))
+    per_order = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
-            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-            > 90 * 86400 * 1_000_000
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    all_supps = l.select("l_orderkey", "l_suppkey").distinct()
-    this = late.alias("this")
-    others = all_supps.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    )
-    waiters = (
-        this.join(
-            others,
-            (F.col("this.l_orderkey") == F.col("ok")) & (F.col("this.l_suppkey") != F.col("sk")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("this.l_orderkey") == F.col("ok2")) & (F.col("this.l_suppkey") != F.col("sk2")),
-            "left_anti",
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(late_supp).alias("n_late"),
+            F.max(late_supp).alias("waiter_suppkey"),
         )
     )
+    waiters = per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
     s = _t(spark, sf_dir, "supplier")
     return (
-        waiters.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        waiters.join(s, F.col("waiter_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
