@@ -121,6 +121,7 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
+        "spark_version": spark.version,
         "value": total,
         "unit": "sec",
         # steady re-executes the SAME resolved DataFrame (plan reuse, the

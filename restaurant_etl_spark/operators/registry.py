@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         embedding_prep,
         event_analytics,
+        incremental,
         io_formats,
         menu,
         multimodal_queries,
