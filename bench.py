@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_simhash_keep",
+    "dedup_embedding_keep",
     "similarity_topk_cosine",
     "similarity_ivf_sqrtn_topk",
     "embedding_quantize_int8",

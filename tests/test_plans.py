@@ -155,3 +155,15 @@ def test_dataset_split_is_pure_map(spark, sf_dir):
     aggregation."""
     plan = _plan(spark, sf_dir, "split_train_val_test")
     assert "Exchange" not in plan
+
+
+def test_embedding_keep_has_no_all_pairs_join(spark, sf_dir):
+    """dedup_embedding_keep is the bucketed production path: candidates come
+    from an equi-join on (band_idx, band) and the keep-list from a key join
+    on vec_id — an all-pairs (cartesian / nested-loop) stage would mean the
+    LSH bucketing silently degenerated (VERDICT r3 #4 'done' criterion)."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_keep")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # q21 single-aggregation rewrite: no Expand (no multi-countDistinct blowup)
+    plan21 = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "Expand" not in plan21
