@@ -689,3 +689,93 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("q_id", "vec_id", "cos", F.row_number().over(wr).alias("rn")).filter(
         F.col("rn") <= TOP_K
     )
+
+
+# --------------------------------------------------------------------------
+# Recall report: ANN variants measured against the exact baseline as a
+# first-class, oracle-checked query (VERDICT r3 #5 made recall a test;
+# this makes it a driver-visible artifact). The oracle composes the
+# already-registered oracle SQL of each pipeline as derived tables, so
+# both engines run the full index + exact chains and agree on the metric.
+# --------------------------------------------------------------------------
+
+
+def _registered_oracle(name: str) -> str:
+    from restaurant_etl_spark.operators.registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@register(
+    "similarity_ann_recall_report",
+    oracle=f"""
+    WITH ex AS ({_registered_oracle("similarity_topk_cosine")}),
+    lab AS ({_registered_oracle("similarity_ivf_topk")}),
+    sq AS ({_registered_oracle("similarity_ivf_sqrtn_topk")}),
+    lshp AS ({_registered_oracle("similarity_lsh_candidates")}),
+    lsh_nb AS (
+        SELECT q_id, vec_id FROM (
+            SELECT n.q_id, n.vec_id,
+                   row_number() OVER (PARTITION BY n.q_id ORDER BY n.cos DESC, n.vec_id) AS rn
+            FROM (SELECT id_a AS q_id, id_b AS vec_id, cos FROM lshp
+                  UNION ALL
+                  SELECT id_b AS q_id, id_a AS vec_id, cos FROM lshp) n
+            WHERE n.q_id % 100 = 0) t
+        WHERE rn <= {TOP_K}
+    ),
+    methods AS (
+        SELECT 'ivf_label' AS method, q_id, vec_id FROM lab
+        UNION ALL SELECT 'ivf_sqrtn' AS method, q_id, vec_id FROM sq
+        UNION ALL SELECT 'lsh' AS method, q_id, vec_id FROM lsh_nb
+    )
+    SELECT m.method,
+           round(count(ex.vec_id) * 1.0 / (SELECT count(*) FROM ex), 4) AS recall_at_10
+    FROM methods m LEFT JOIN ex ON ex.q_id = m.q_id AND ex.vec_id = m.vec_id
+    GROUP BY m.method
+    """,
+    category="similarity",
+)
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of every ANN variant vs the exact brute-force baseline,
+    as one (method, recall_at_10) row each. The joins are on (q_id,
+    vec_id) — tiny result sets — so the cost is the underlying pipelines
+    themselves. On this synthetic (isotropic) corpus the absolute values
+    are data-bound, not method-bound; see tests/test_ann_recall.py for
+    the floors and the beats-random-probing property."""
+    ex = similarity_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
+    total = ex.agg(F.count("*").alias("n_true"))
+
+    lab = similarity_ivf_topk(spark, sf_dir).select("q_id", "vec_id")
+    sq = similarity_ivf_sqrtn_topk(spark, sf_dir).select("q_id", "vec_id")
+
+    pairs = similarity_lsh_candidates(spark, sf_dir)
+    nb = pairs.select(
+        F.col("id_a").alias("q_id"), F.col("id_b").alias("vec_id"), "cos"
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("q_id"), F.col("id_a").alias("vec_id"), "cos")
+    ).filter(F.col("q_id") % 100 == 0)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    lsh_nb = (
+        nb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    methods = (
+        lab.select(F.lit("ivf_label").alias("method"), "q_id", "vec_id")
+        .unionAll(sq.select(F.lit("ivf_sqrtn").alias("method"), "q_id", "vec_id"))
+        .unionAll(lsh_nb.select(F.lit("lsh").alias("method"), "q_id", "vec_id"))
+    )
+    hits = methods.join(ex, ["q_id", "vec_id"], "left_semi")
+    return (
+        methods.groupBy("method")
+        .agg(F.count("*").alias("n_all"))
+        .join(hits.groupBy("method").agg(F.count("*").alias("n_hit")), "method", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true"), 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
