@@ -687,3 +687,89 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("bucket_min") == F.first("doc_id")).alias("is_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — the training-pipeline step that finds train
+# documents overlapping a held-out evaluation set (n-gram contamination).
+# --------------------------------------------------------------------------
+
+#: minimum number of distinct shared shingles before a train doc counts as
+#: contaminated by a benchmark doc (1-2 shared 3-grams is noise).
+MIN_CONTAMINATION_OVERLAP = 3
+#: every 50th doc_id plays the held-out benchmark set in the synthetic corpus
+BENCH_MOD = 50
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    idx AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM idx WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, shingle FROM idx WHERE doc_id % {BENCH_MOD} <> 0),
+    ov AS (
+        SELECT t.doc_id, b.bench_id, count(*) AS shared
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY t.doc_id, b.bench_id
+        HAVING count(*) >= {MIN_CONTAMINATION_OVERLAP}
+    )
+    SELECT doc_id, bench_id AS matched_bench_id, shared AS shared_shingles,
+           CAST(n_bench_matches AS INTEGER) AS n_bench_matches
+    FROM (
+        SELECT doc_id, bench_id, shared,
+               count(*) OVER (PARTITION BY doc_id) AS n_bench_matches,
+               row_number() OVER (PARTITION BY doc_id ORDER BY shared DESC, bench_id) AS rn
+        FROM ov) t
+    WHERE rn = 1
+    """,
+    category="dedup",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train documents sharing ≥3 distinct
+    3-token shingles with any held-out benchmark doc (doc_id % 50 == 0
+    plays the eval set), reported one row per contaminated train doc with
+    its strongest benchmark match and how many benchmark docs it touches.
+
+    Scale shape: the join is an inverted-index TRAIN ⋈ BENCH on shingle —
+    the benchmark side is tiny (the eval suite), so at 100 TB this is a
+    broadcast of the benchmark shingle set against a linear scan of train
+    shingles; the DF cap (MAX_SHINGLE_DF) keeps stop-shingle posting lists
+    from exploding candidate pairs, same contract as dedup_ngram_jaccard.
+    Output is linear in contaminated docs."""
+    sh = shingle_table(_docs(spark, sf_dir))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    bench = idx.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = idx.filter(F.col("doc_id") % BENCH_MOD != 0)
+    ov = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= MIN_CONTAMINATION_OVERLAP)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id")
+    w_rank = w.orderBy(F.col("shared").desc(), "bench_id")
+    return (
+        ov.withColumn("n_bench_matches", F.count("*").over(w).cast("int"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bench_id").alias("matched_bench_id"),
+            F.col("shared").alias("shared_shingles"),
+            "n_bench_matches",
+        )
+    )
