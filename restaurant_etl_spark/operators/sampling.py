@@ -101,3 +101,42 @@ def sample_stratified_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
     )
+
+
+#: data-mixing rates per language (the pretraining "mixture weights"
+#: knob): up-weight the low-resource tail, keep half of the en head.
+#: Values are per-mille kept (out of 1000) so the hash gate is integral.
+MIXTURE_PERMILLE = {"en": 500, "fr": 800, "es": 800, "de": 1000, "zh": 1000}
+
+
+@register(
+    "sample_weighted_mixture",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS pm,
+               CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_PERMILLE.items())}
+                    ELSE 0 END AS keep_pm
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b WHERE pm < keep_pm
+    """,
+    category="sampling",
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source (here per-language) sampling rates applied
+    in ONE scan via a salted hash gate — the step that turns a raw crawl
+    into a weighted pretraining mixture (e.g. keep 50% of the English
+    head, all of the low-resource tail). Membership is a pure function of
+    (salt, doc_id), so the mixture is reproducible, rebuild-stable, and
+    composes with split_train_val_test (independent salts → independent
+    gates). Zero shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    pm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    keep = F.lit(0)
+    for k, v in MIXTURE_PERMILLE.items():
+        keep = F.when(F.col("lang") == k, v).otherwise(keep)
+    return d.select("doc_id", "lang").filter(pm < keep)
