@@ -237,3 +237,68 @@ def test_events_stream_source_watermark_analyzes(spark, tmp_path, encoding):
     # DataFrame ops are eagerly analyzed: this line IS the assertion that
     # the watermark attaches (it raised on TIMESTAMP_NTZ in round 3)
     stream.withWatermark("ts", "10 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Star-schema contract: the loader must surface every driver table with the
+# columns and Spark-side types the 153 registered queries assume. If the
+# driver regenerates testdata with a changed schema (the round-3 failure
+# mode, events-only back then), this fails with a direct message instead of
+# scattering AnalysisExceptions across the registry.
+# ---------------------------------------------------------------------------
+
+EXPECTED_TABLE_SCHEMAS = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "int"),
+        ("c_acctbal", "double"), ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"), ("s_name", "string"), ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string"),
+        ("o_totalprice", "double"), ("o_orderdate", None), ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"), ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ("l_discount", "double"), ("l_tax", "double"), ("l_returnflag", "string"),
+        ("l_linestatus", "string"), ("l_shipdate", None),
+    ],
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int")],
+}
+
+#: date-like columns may arrive as date / timestamp / timestamp_ntz across
+#: driver regenerations — every query casts before timestamp arithmetic, so
+#: the contract accepts the family (None above) but pins events.ts exactly
+#: (the loader normalizes it; streaming requires TIMESTAMP).
+_DATE_FAMILY = {"date", "timestamp", "timestamp_ntz"}
+
+
+def test_star_schema_contract(spark, sf_dir):
+    from restaurant_etl_spark.sources.tables import load_table
+
+    for table, expected in EXPECTED_TABLE_SCHEMAS.items():
+        got = load_table(spark, sf_dir, table).dtypes
+        assert len(got) == len(expected), f"{table}: columns changed: {got}"
+        for (name, typ), (e_name, e_typ) in zip(got, expected):
+            assert name == e_name, f"{table}: expected column {e_name}, got {name}"
+            if e_typ is None:
+                assert typ in _DATE_FAMILY, f"{table}.{name}: {typ} not a date/timestamp"
+            else:
+                assert typ == e_typ, f"{table}.{name}: expected {e_typ}, got {typ}"
