@@ -487,7 +487,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact rank within probed cells only
     scored = (
-        probes.join(assign, "c_label")
+        # probes are nq x nprobe rows — broadcast them so the inverted
+        # file (corpus-sized) never shuffles for the probe join
+        F.broadcast(probes).join(assign, "c_label")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
@@ -678,7 +680,8 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = (
-        probes.join(assign, "c_cell")
+        # broadcast the tiny probe set; the inverted file stays in place
+        F.broadcast(probes).join(assign, "c_cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
