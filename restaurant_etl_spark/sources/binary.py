@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.sources.pdf_text import extract_pdf_text
+
 #: S1 — supported formats (process_menu.py:127-128, case-insensitive).
 SUPPORTED_EXTENSIONS = ("pdf", "jpg", "jpeg", "png", "txt")
 
@@ -68,8 +70,10 @@ _ENGINE = None
 
 def _get_engine():
     """Lazy per-executor extraction engine — the reference's module-level
-    singleton (pdf_extractor.py:10-22). Tries real libraries first; falls
-    back to a deterministic STUB (md5-derived text) when absent."""
+    singleton (pdf_extractor.py:10-22). Tries real libraries first, then
+    the stdlib text-layer extractor (sources/pdf_text.py) for PDFs; images
+    fall back to a deterministic STUB (md5-derived text) — no OCR engine
+    exists in this environment."""
     global _ENGINE
     if _ENGINE is not None:
         return _ENGINE
@@ -78,7 +82,7 @@ def _get_engine():
 
         _ENGINE = "pdfplumber"
     except Exception:
-        _ENGINE = "stub"
+        _ENGINE = "minipdf"
     return _ENGINE
 
 
@@ -126,16 +130,22 @@ def extract_binary_text(df: DataFrame) -> DataFrame:
                             (path, text, "native_text", len(text),
                              len(text.strip()) > 0, None)
                         )
-                    else:
-                        kind = "pdf" if fmt == "pdf" else "image"
-                        text = _stub_text(bytes(content), kind)
-                        method = (
-                            f"{kind}_stub" if engine == "stub" else f"{kind}_{engine}"
-                        )
-                        # S4: OCR fallback branch (threshold parity)
-                        if kind == "pdf" and len(text) < OCR_FALLBACK_CHARS:
+                    elif fmt == "pdf":
+                        # S3: REAL text-layer extraction (stdlib); S4: when
+                        # the text layer is absent/short (<60 chars — scanned
+                        # page, CID font), fall back to the OCR path, which
+                        # is stubbed here (no OCR engine in this env)
+                        text = extract_pdf_text(bytes(content))
+                        if len(text) >= OCR_FALLBACK_CHARS:
+                            method = "pdf_native_text" if engine == "minipdf" else f"pdf_{engine}"
+                        else:
+                            text = _stub_text(bytes(content), "pdf")
                             method = "pdf_ocr_fallback"
                         rows.append((path, text, method, len(text), True, None))
+                    else:
+                        # S5/S6: image OCR — engine stubbed in this env
+                        text = _stub_text(bytes(content), "image")
+                        rows.append((path, text, "image_stub", len(text), True, None))
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
                     kind = "pdf" if fmt == "pdf" else "image"
                     rows.append((path, None, f"{kind}_error", 0, False, str(e)))
