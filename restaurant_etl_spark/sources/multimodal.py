@@ -2,11 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas transforms.
 
 Real in this module: the media schema, the mapInPandas plumbing (batch
-shapes, signatures, per-executor decoder lifecycle), metadata handling and
-partitioning. STUBBED (this container ships no image/audio codecs): the
-actual decode — replaced by a deterministic byte-level fake so tests can
-assert shapes and determinism. Swap ``_decode_stub`` for PIL/ffmpeg on a
-real cluster; nothing else changes.
+shapes, signatures, per-executor decoder lifecycle), metadata handling,
+partitioning — and the DECODE itself for stdlib-decodable containers
+(uncompressed BMP / binary PPM/PGM images, PCM WAV audio; see
+sources/media_codecs.py): real pixels feed the histogram features, real
+samples feed the audio features, and thumbnails are genuine
+nearest-neighbor downsamples re-encoded as PPM. STUBBED: codec-dependent
+formats (JPEG/PNG/MP3/video) — this container ships no imaging/av
+libraries, so those fall back to a deterministic byte-level fake. Swap the
+fallback for PIL/ffmpeg on a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -17,6 +21,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from restaurant_etl_spark.sources.media_codecs import (
+    decode_image,
+    decode_wav,
+    encode_ppm,
+    sniff,
+)
 
 #: media table schema: binary payload + typed metadata, the 100 TB layout —
 #: content stays opaque bytes; metadata columns drive partition pruning.
@@ -51,8 +62,25 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             feats = []
             for content in pdf["content"]:
-                arr = _decode_stub(bytes(content))
-                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                raw = bytes(content)
+                fmt = sniff(raw)
+                if fmt == "wav":
+                    # real audio features: RMS energy over FEATURE_DIM
+                    # equal windows of the decoded mono signal
+                    samples, _, _ = decode_wav(raw)
+                    if samples.size == 0:
+                        samples = np.zeros(FEATURE_DIM, dtype=np.float32)
+                    windows = np.array_split(samples, FEATURE_DIM)
+                    hist = np.array(
+                        [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
+                    )
+                elif fmt in ("bmp", "ppm"):
+                    # real pixel histogram over the decoded image
+                    arr = decode_image(raw).ravel()
+                    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                else:
+                    arr = _decode_stub(raw)
+                    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
                 norm = np.linalg.norm(hist)
                 feats.append((hist / norm if norm else hist).astype(np.float32).tolist())
             yield pd.DataFrame(
@@ -77,11 +105,21 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 raw = bytes(content)
-                w = meta["width"] if meta is not None else None
-                h = meta["height"] if meta is not None else None
-                scale = max(1, (max(w or max_side, h or max_side)) // max_side)
-                thumb = raw[:: scale * 4] or raw[:1]
-                out.append((mid, thumb, (w or max_side) // scale, (h or max_side) // scale))
+                if sniff(raw) in ("bmp", "ppm"):
+                    # real thumbnail: nearest-neighbor stride downsample of
+                    # decoded pixels, re-encoded as PPM/PGM (decodable)
+                    px = decode_image(raw)
+                    ih, iw = px.shape[0], px.shape[1]
+                    scale = max(1, (max(iw, ih) + max_side - 1) // max_side)
+                    small = px[::scale, ::scale]
+                    out.append((mid, encode_ppm(small), small.shape[1], small.shape[0]))
+                else:
+                    # STUB path for codec-dependent formats
+                    w = meta["width"] if meta is not None else None
+                    h = meta["height"] if meta is not None else None
+                    scale = max(1, (max(w or max_side, h or max_side)) // max_side)
+                    thumb = raw[:: scale * 4] or raw[:1]
+                    out.append((mid, thumb, (w or max_side) // scale, (h or max_side) // scale))
             yield pd.DataFrame(out, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
 
     return media.filter(F.col("kind") == "image").mapInPandas(_resize, THUMB_SCHEMA)
