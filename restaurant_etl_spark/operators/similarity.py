@@ -5,11 +5,16 @@ assignment — all native higher-order array expressions, no UDFs, no MLlib.
 Scale shape:
   * top-k: tiny query set broadcast against the corpus — scan stays
     embarrassingly parallel, per-partition top-k via window;
-  * LSH: per-row 16-bit hyperplane signature (narrow), band-bucket
+  * LSH: per-row hyperplane signature (16-bit for candidates, 24-bit for
+    the keep-list — band width scales with log2(n)), band-bucket
     self-join (shuffle bounded by bucket sizes), exact re-rank on
     candidates only;
-  * hashing/hyperplanes derive from md5 so the DuckDB oracle replays the
-    identical pipeline.
+  * hyperplanes are md5-derived ±1 matrices PRECOMPUTED in Python and
+    embedded as literal arrays in both engines (hash-in-the-loop made
+    signatures the dominant cost — see _hyperplanes);
+  * IVF: centroids AND the inverted file materialize once (the index
+    build), queries broadcast their probe set so the corpus never
+    shuffles on the serve path.
 """
 
 from __future__ import annotations
