@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_keep",
     "dedup_embedding_keep",
+    "decontamination_overlap",
     "similarity_topk_cosine",
     "similarity_ivf_sqrtn_topk",
     "embedding_quantize_int8",
