@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from restaurant_etl_spark.operators.asof import asof_join
 from restaurant_etl_spark.operators.registry import register
