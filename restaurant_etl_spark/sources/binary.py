@@ -95,12 +95,17 @@ def _stub_text(content: bytes, kind: str) -> str:
     return f"--- Page 1 ---\nSTUB {kind} DOC {h[:12]}\nitem {h[12:16]} ${int(h[16:18], 16)}.00"
 
 
-def extract_binary_text(df: DataFrame) -> DataFrame:
+def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
     """S3-S6 — extraction over a routed binaryFile DataFrame, returning the
     reference's extraction-result schema (pdf_extractor.py:60-66) keyed by
     path: txt → UTF-8 decode (``native_text``), pdf/images → the lazy
     per-executor engine, unsupported formats → success=false rows
     (universal_extractor.py:26-48).
+
+    ``ocr_transport`` (sources/ocr.py) routes the OCR paths — the S4 PDF
+    fallback and S5/S6 images — through a real Azure-read-shaped client
+    with injected network; without it those paths emit deterministic STUB
+    text (no OCR engine in this environment).
 
     ONE Arrow-batched pass over ONE scan. The earlier design unioned three
     filtered branches (txt / media / unsupported), which compiled to three
@@ -133,17 +138,40 @@ def extract_binary_text(df: DataFrame) -> DataFrame:
                     elif fmt == "pdf":
                         # S3: REAL text-layer extraction (stdlib); S4: when
                         # the text layer is absent/short (<60 chars — scanned
-                        # page, CID font), fall back to the OCR path, which
-                        # is stubbed here (no OCR engine in this env)
+                        # page, CID font), fall back to OCR: real transport
+                        # when injected, deterministic stub otherwise
                         text = extract_pdf_text(bytes(content))
                         if len(text) >= OCR_FALLBACK_CHARS:
                             method = "pdf_native_text" if engine == "minipdf" else f"pdf_{engine}"
+                        elif ocr_transport is not None:
+                            from restaurant_etl_spark.sources.ocr import ocr_extract
+
+                            text, err = ocr_extract(
+                                bytes(content), ocr_transport, PDF_OCR_MIN_CONF
+                            )
+                            if err is not None:
+                                rows.append((path, None, "pdf_ocr_error", 0, False, err))
+                                continue
+                            method = "pdf_azure_ocr"
                         else:
                             text = _stub_text(bytes(content), "pdf")
                             method = "pdf_ocr_fallback"
                         rows.append((path, text, method, len(text), True, None))
+                    elif ocr_transport is not None:
+                        # S5/S6: image OCR through the injected transport
+                        from restaurant_etl_spark.sources.ocr import ocr_extract
+
+                        text, err = ocr_extract(
+                            bytes(content), ocr_transport, IMAGE_OCR_MIN_CONF
+                        )
+                        if err is not None:
+                            rows.append((path, None, "image_ocr_error", 0, False, err))
+                        else:
+                            rows.append(
+                                (path, text, "image_azure_ocr", len(text), True, None)
+                            )
                     else:
-                        # S5/S6: image OCR — engine stubbed in this env
+                        # S5/S6 without a transport: engine stubbed in this env
                         text = _stub_text(bytes(content), "image")
                         rows.append((path, text, "image_stub", len(text), True, None))
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
