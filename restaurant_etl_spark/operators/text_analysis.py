@@ -408,3 +408,57 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return q.join(lang, "doc_id").join(kept, "doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+        SELECT t.doc_id, log10(f.c / tot.n) AS lp
+        FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    category="text",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the CCNet-style perplexity
+    filter signal for pretraining corpora: fit a unigram LM on the corpus
+    itself (token frequency / total), score each document by mean log10
+    probability of its tokens. Repeated boilerplate scores HIGH (common
+    tokens), lorem-ipsum noise and glyph soup score LOW — the two tails a
+    quality filter trims.
+
+    Scale shape: one shuffle on the token key builds the LM (bounded by
+    vocabulary, not corpus); the model is a (token, logprob) table joined
+    back token-wise — AQE picks broadcast when the vocab fits, shuffle
+    join when it doesn't. Everything else is a narrow map; output is one
+    row per document."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    lm = freq.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log10(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
