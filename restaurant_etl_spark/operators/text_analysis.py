@@ -462,3 +462,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "corpus_clean_multimodal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+        FROM t
+    ), txt AS (
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
+        FROM s
+        WHERE n_tokens >= 20 AND n_stop / n_tokens BETWEEN 0.01 AND 0.6
+          AND n_distinct / n_tokens >= 0.2
+    ), emb AS (
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))), 4) AS emb_norm
+        FROM embeddings
+    )
+    SELECT t.doc_id, t.n_tokens, e.emb_norm
+    FROM txt t JOIN emb e ON t.doc_id = e.vec_id
+    WHERE e.emb_norm BETWEEN 0.5 AND 20.0
+    """,
+    category="text",
+)
+def corpus_clean_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus filter: a document survives only if BOTH its text
+    passes the quality gate AND its embedding row (doc_id = vec_id in the
+    synthetic schema) has a sane L2 norm (degenerate/zero and exploded
+    vectors are the embedding-side failure modes a multimodal pipeline
+    screens). One doc_id equi-join between the two modality tables — at
+    100 TB both sides are pre-filtered before the shuffle, and the output
+    is the multimodal corpus a joint-training run would ingest."""
+    txt = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality_band") == "keep")
+        .select("doc_id", "n_tokens")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    emb = e.select(F.col("vec_id").alias("doc_id"), F.round(norm, 4).alias("emb_norm")).filter(
+        F.col("emb_norm").between(0.5, 20.0)
+    )
+    return txt.join(emb, "doc_id")
