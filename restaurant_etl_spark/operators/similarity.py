@@ -787,3 +787,30 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "retrieval_topk_docs",
+    oracle=f"""
+    WITH ann AS ({_registered_oracle("similarity_ivf_sqrtn_topk")})
+    SELECT ann.q_id, ann.vec_id, ann.cos, ann.rn,
+           d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM ann JOIN documents d ON d.doc_id = ann.vec_id
+    """,
+    category="similarity",
+)
+def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving query: ANN top-k (sqrt-n IVF index) joined back to
+    the document store (doc_id = vec_id in the synthetic schema) so each
+    hit carries its payload metadata. The retrieval result is tiny
+    (nq × k rows), so the document join broadcasts the HIT LIST against
+    the doc table — the corpus is never scanned beyond the ANN index
+    itself. This is the end-to-end read path a vector-indexed corpus
+    serves."""
+    hits = similarity_ivf_sqrtn_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+    )
+    return F.broadcast(hits).join(docs, "vec_id").select(
+        "q_id", "vec_id", "cos", "rn", "lang", "n_chars"
+    )
