@@ -119,6 +119,9 @@ def main() -> int:
             timings[name] = round(statistics.median(reps), 3)
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            # keep cold_total and steady_total aggregating the SAME query
+            # set: a query that died mid-steady contributes to neither
+            cold.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -734,12 +734,14 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the eval set), reported one row per contaminated train doc with
     its strongest benchmark match and how many benchmark docs it touches.
 
-    Scale shape: the join is an inverted-index TRAIN ⋈ BENCH on shingle —
-    the benchmark side is tiny (the eval suite), so at 100 TB this is a
-    broadcast of the benchmark shingle set against a linear scan of train
-    shingles; the DF cap (MAX_SHINGLE_DF) keeps stop-shingle posting lists
-    from exploding candidate pairs, same contract as dedup_ngram_jaccard.
-    Output is linear in contaminated docs."""
+    Scale shape: the join is an inverted-index TRAIN ⋈ BENCH on shingle.
+    The join strategy is left to AQE: with a REAL eval suite (bounded,
+    a few thousand docs) it broadcasts; in this synthetic setup the bench
+    side is a modeled 2% of the corpus, so forcing a broadcast would be a
+    scale bug — AQE picks a shuffle join when the side outgrows the
+    threshold. The DF cap (MAX_SHINGLE_DF) keeps stop-shingle posting
+    lists from exploding candidate pairs, same contract as
+    dedup_ngram_jaccard. Output is linear in contaminated docs."""
     sh = shingle_table(_docs(spark, sf_dir))
     rare = (
         sh.groupBy("shingle")
@@ -753,7 +755,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = idx.filter(F.col("doc_id") % BENCH_MOD != 0)
     ov = (
-        train.join(F.broadcast(bench), "shingle")
+        train.join(bench, "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= MIN_CONTAMINATION_OVERLAP)

@@ -34,7 +34,6 @@ touched file = exactly that file.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,7 +99,10 @@ def run_incremental_menu(
             "text",
         )
         items = parse_menu_documents(docs).withColumn("run_id", F.lit(run_id))
-        items.write.mode("append").parquet(out_items)
+        # partition by run_id so each tick lands in its own directory:
+        # the count below prunes to THIS run's partition (delta-bounded
+        # I/O), and consumers can prune history the same way
+        items.write.mode("append").partitionBy("run_id").parquet(out_items)
         n_items = spark.read.parquet(out_items).filter(F.col("run_id") == run_id).count()
 
         # manifest LAST: a crash before this line re-processes the same
@@ -140,13 +142,24 @@ def menu_incremental_first_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the incremental pipeline from an EMPTY manifest over the staged
     menu corpus: the first tick must process every file exactly once and
     reproduce the batch pipeline's items (same closed-form oracle as
-    menu_pipeline_files, key columns). Fresh state dir per call keeps the
-    query deterministic; the delta behavior (second tick = 0 files) is
-    covered by tests/test_incremental.py."""
+    menu_pipeline_files, key columns). The first-run result is a pure
+    function of the staged corpus, so the state is built ONCE per source
+    fingerprint via stage_once (atomic, reused across registry sweeps —
+    a fresh mkdtemp per call would leak a parquet copy per invocation);
+    the delta behavior (second tick = 0 files) is covered by
+    tests/test_incremental.py."""
     from restaurant_etl_spark.operators.menu import _stage_menu_txt
+    from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
 
     stage = _stage_menu_txt(spark, sf_dir)
-    state = tempfile.mkdtemp(prefix="incr_state_")
-    run_incremental_menu(spark, stage, state)
+
+    def build(scratch: str) -> None:
+        run_incremental_menu(spark, stage, scratch)
+
+    state = stage_once(
+        f"incr_state_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_fingerprint(os.path.join(sf_dir, "part.parquet")),
+        build,
+    )
     items = spark.read.parquet(os.path.join(state, "items"))
     return items.select("doc_id", "item_name", "primary_price")

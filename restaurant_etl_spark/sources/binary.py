@@ -10,13 +10,14 @@ no driver loop.
 Extraction paths:
   * ``.txt``  — native UTF-8 decode, pure JVM (the correctness path used by
     tests and the end-to-end pipeline query);
-  * ``.pdf`` / images — ``mapInPandas`` with a per-executor lazy engine
-    (the reference's singleton pattern, pdf_extractor.py:10-22 scaled out).
-    pdfplumber/PaddleOCR are NOT installed in this environment, so the
-    engine is STUBBED: if the real libraries are importable they are used,
-    otherwise a clearly-marked deterministic fake produces synthetic text.
-    The Spark plumbing — schema, batching, confidence filtering, OCR
-    fallback threshold — is real and tested.
+  * ``.pdf``  — REAL stdlib text-layer extraction (sources/pdf_text.py);
+    short/absent text layers fall to the S4 OCR path;
+  * OCR (S4 fallback, S5/S6 images) — real Azure-read response parsing
+    behind an injectable transport (sources/ocr.py); with no transport a
+    clearly-marked deterministic stub produces synthetic text (no OCR
+    engine ships in this environment). The Spark plumbing — schema,
+    batching, confidence filtering, fallback threshold — is real and
+    tested either way.
 """
 
 from __future__ import annotations
@@ -63,29 +64,6 @@ def with_format(df: DataFrame) -> DataFrame:
     )
 
 
-# -- per-executor lazy engine (stub) ---------------------------------------
-
-_ENGINE = None
-
-
-def _get_engine():
-    """Lazy per-executor extraction engine — the reference's module-level
-    singleton (pdf_extractor.py:10-22). Tries real libraries first, then
-    the stdlib text-layer extractor (sources/pdf_text.py) for PDFs; images
-    fall back to a deterministic STUB (md5-derived text) — no OCR engine
-    exists in this environment."""
-    global _ENGINE
-    if _ENGINE is not None:
-        return _ENGINE
-    try:  # pragma: no cover - libs absent in this environment
-        import pdfplumber  # noqa: F401
-
-        _ENGINE = "pdfplumber"
-    except Exception:
-        _ENGINE = "minipdf"
-    return _ENGINE
-
-
 def _stub_text(content: bytes, kind: str) -> str:
     """Deterministic fake extraction: stable pseudo-text from the bytes.
     STUB — replaces pdfplumber/PaddleOCR output in this environment."""
@@ -117,7 +95,6 @@ def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
     the binaries (SURVEY §3.2's batch re-run boundary)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        engine = _get_engine()
         for pdf in batches:
             rows = []
             for path, fmt, supported, content in zip(
@@ -142,7 +119,7 @@ def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
                         # when injected, deterministic stub otherwise
                         text = extract_pdf_text(bytes(content))
                         if len(text) >= OCR_FALLBACK_CHARS:
-                            method = "pdf_native_text" if engine == "minipdf" else f"pdf_{engine}"
+                            method = "pdf_native_text"
                         elif ocr_transport is not None:
                             from restaurant_etl_spark.sources.ocr import ocr_extract
 
@@ -175,7 +152,7 @@ def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
                         text = _stub_text(bytes(content), "image")
                         rows.append((path, text, "image_stub", len(text), True, None))
                 except Exception as e:  # noqa: BLE001 - per-doc isolation
-                    kind = "pdf" if fmt == "pdf" else "image"
+                    kind = {"pdf": "pdf", "txt": "text"}.get(fmt, "image")
                     rows.append((path, None, f"{kind}_error", 0, False, str(e)))
             yield pd.DataFrame(
                 rows,

@@ -19,10 +19,12 @@ import numpy as np
 
 
 def sniff(content: bytes) -> str | None:
-    """Best-effort container detection for the stdlib-decodable formats."""
+    """Best-effort container detection for the stdlib-decodable formats.
+    (content[2:3] is compared against a tuple — substring containment
+    would accept the empty slice of a 2-byte payload as whitespace.)"""
     if content[:2] == b"BM":
         return "bmp"
-    if content[:2] in (b"P6", b"P5") and content[2:3] in b" \t\r\n":
+    if content[:2] in (b"P6", b"P5") and content[2:3] in (b" ", b"\t", b"\r", b"\n"):
         return "ppm"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"

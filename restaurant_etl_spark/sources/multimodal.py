@@ -63,22 +63,29 @@ def extract_features(media: DataFrame) -> DataFrame:
             feats = []
             for content in pdf["content"]:
                 raw = bytes(content)
-                fmt = sniff(raw)
-                if fmt == "wav":
-                    # real audio features: RMS energy over FEATURE_DIM
-                    # equal windows of the decoded mono signal
-                    samples, _, _ = decode_wav(raw)
-                    if samples.size == 0:
-                        samples = np.zeros(FEATURE_DIM, dtype=np.float32)
-                    windows = np.array_split(samples, FEATURE_DIM)
-                    hist = np.array(
-                        [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
-                    )
-                elif fmt in ("bmp", "ppm"):
-                    # real pixel histogram over the decoded image
-                    arr = decode_image(raw).ravel()
-                    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
-                else:
+                # per-item isolation: a payload that SNIFFS as a stdlib
+                # format but fails decode (8-bit BMP, truncated file) must
+                # degrade to the stub row, never kill the job — the same
+                # contract extract_binary_text keeps per document
+                try:
+                    fmt = sniff(raw)
+                    if fmt == "wav":
+                        # real audio features: RMS energy over FEATURE_DIM
+                        # equal windows of the decoded mono signal
+                        samples, _, _ = decode_wav(raw)
+                        if samples.size == 0:
+                            samples = np.zeros(FEATURE_DIM, dtype=np.float32)
+                        windows = np.array_split(samples, FEATURE_DIM)
+                        hist = np.array(
+                            [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
+                        )
+                    elif fmt in ("bmp", "ppm"):
+                        # real pixel histogram over the decoded image
+                        arr = decode_image(raw).ravel()
+                        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                    else:
+                        raise ValueError("no stdlib decoder")
+                except Exception:  # noqa: BLE001 - per-item isolation
                     arr = _decode_stub(raw)
                     hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
                 norm = np.linalg.norm(hist)
@@ -105,10 +112,16 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 raw = bytes(content)
+                decoded = None
                 if sniff(raw) in ("bmp", "ppm"):
+                    try:
+                        decoded = decode_image(raw)
+                    except Exception:  # noqa: BLE001 - degrade to the stub path
+                        decoded = None
+                if decoded is not None:
                     # real thumbnail: nearest-neighbor stride downsample of
                     # decoded pixels, re-encoded as PPM/PGM (decodable)
-                    px = decode_image(raw)
+                    px = decoded
                     ih, iw = px.shape[0], px.shape[1]
                     scale = max(1, (max(iw, ih) + max_side - 1) // max_side)
                     small = px[::scale, ::scale]

@@ -45,8 +45,12 @@ def parse_read_result(result: dict, min_word_confidence: float | None = None) ->
         words = page.get("words", [])
         for line in page.get("lines", []):
             content = line.get("content", "")
-            if min_word_confidence is not None and words:
-                spans = line.get("spans", [])
+            spans = line.get("spans", [])
+            # the gate only applies where attribution is possible: a line
+            # without spans passes (we cannot tell which words are its
+            # own — attributing the whole page's words would let one bad
+            # word elsewhere drop every line)
+            if min_word_confidence is not None and words and spans:
                 confs = [
                     w["confidence"]
                     for w in words
@@ -60,10 +64,11 @@ def parse_read_result(result: dict, min_word_confidence: float | None = None) ->
 
 
 def _word_in_spans(word: dict, spans: list[dict]) -> bool:
-    w_span = (word.get("span") or {})
-    off = w_span.get("offset")
-    if off is None or not spans:
-        return True
+    """A word belongs to a line only when its offset provably falls inside
+    one of the line's spans; a word with no offset belongs to NO line."""
+    off = (word.get("span") or {}).get("offset")
+    if off is None:
+        return False
     return any(
         s.get("offset", 0) <= off < s.get("offset", 0) + s.get("length", 0) for s in spans
     )

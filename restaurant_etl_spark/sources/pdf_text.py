@@ -28,8 +28,11 @@ import zlib
 _STREAM_RE = re.compile(rb"<<(?P<dict>.*?)>>\s*stream\r?\n(?P<data>.*?)endstream", re.S)
 
 #: show-text and line-advance operators inside a BT/ET block, in order.
+#: ' and " are "move to next line, then show" per the PDF spec — they get
+#: their own group so the extractor emits the line break they imply.
 _TOKEN_RE = re.compile(
-    rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"
+    rb"\((?P<nllit>(?:\\.|[^\\()])*)\)\s*(?:'|\")"
+    rb"|\((?P<lit>(?:\\.|[^\\()])*)\)\s*Tj"
     rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)|[^\]\\]|\\.)*)\]\s*TJ"
     rb"|(?P<nl>T\*|-?[\d.]+\s+-?[\d.]+\s+T[dD])"
 )
@@ -113,6 +116,11 @@ def extract_pdf_text(content: bytes, min_printable_ratio: float = 0.8) -> str:
                     if line:
                         lines.append(b"".join(line))
                         line = []
+                elif tok.group("nllit") is not None:  # ' / " = T* then show
+                    if line:
+                        lines.append(b"".join(line))
+                        line = []
+                    line.append(_unescape(tok.group("nllit")))
                 elif tok.group("lit") is not None:
                     line.append(_unescape(tok.group("lit")))
                 elif tok.group("arr") is not None:

@@ -100,3 +100,27 @@ def test_resize_produces_decodable_thumbnail(spark):
     assert small.shape == (64, 48, 3)
     # nearest-neighbor: top-left pixel survives exactly
     assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def test_sniff_rejects_two_byte_payload():
+    # regression: b"P6"[2:3] == b"" and b"" in b" \t\r\n" is True —
+    # substring containment misclassified 2-byte payloads as PPM
+    assert sniff(b"P6") is None
+    assert sniff(b"P5") is None
+    assert sniff(b"") is None
+
+
+def test_decode_failure_degrades_to_stub_not_crash(spark):
+    """A payload that sniffs as BMP but can't decode must produce a stub
+    feature row, never kill the job (per-item isolation)."""
+    rows = [
+        (1, "image", b"BM garbage that is not a real bitmap header", (8, 8, None, "bmp")),
+        (2, "image", b"P6 1 1 255 not-really", (1, 1, None, "ppm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert set(feats) == {1, 2}
+    for v in feats.values():
+        assert len(v) == FEATURE_DIM
+    thumbs = resize_images(media).collect()
+    assert {r["media_id"] for r in thumbs} == {1, 2}  # stub path produced rows

@@ -100,3 +100,11 @@ def test_spark_pipeline_uses_native_pdf_path(spark, tmp_path):
     scan = rows["scan.pdf"]
     assert scan["success"] and scan["extraction_method"] == "pdf_ocr_fallback"
     assert "STUB pdf" in scan["text"]  # OCR engine stubbed in this environment
+
+
+def test_quote_operators_start_new_lines():
+    """' and \" are move-to-next-line-then-show (PDF spec): each must open
+    a fresh output line, not concatenate onto the previous one."""
+    stream = b"BT (line1) Tj (line2) ' (line3) \" ET"
+    pdf = _pdf_bytes(stream, compress=True)
+    assert extract_pdf_text(pdf, min_printable_ratio=0.0) == "line1\nline2\nline3"

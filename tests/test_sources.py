@@ -57,7 +57,7 @@ def test_extraction_paths(spark, doc_dir):
     # stubbed pdf/image path: deterministic fake text, flagged method
     pdf = rows["scan_b.pdf"]
     # short stub text trips the S4 OCR-fallback threshold (<60 chars)
-    assert pdf["success"] and pdf["extraction_method"] in ("pdf_stub", "pdf_ocr_fallback")
+    assert pdf["success"] and pdf["extraction_method"] == "pdf_ocr_fallback"
     assert "STUB pdf" in pdf["text"]
     jpg = rows["photo_c.JPG"]
     assert jpg["success"] and "STUB image" in jpg["text"]
