@@ -775,3 +775,51 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bench_matches",
         )
     )
+
+
+def _registered_oracle(name: str) -> str:
+    from restaurant_etl_spark.operators.registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@register(
+    "dedup_minhash_recall_report",
+    oracle=f"""
+    WITH exact_pairs AS ({_registered_oracle("dedup_ngram_jaccard")}),
+    lsh_pairs AS ({_registered_oracle("dedup_minhash_lsh")})
+    SELECT
+        CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+        CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+        round((SELECT count(*) FROM lsh_pairs l
+               JOIN exact_pairs e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+              * 1.0 / greatest((SELECT count(*) FROM exact_pairs), 1), 4) AS recall,
+        round((SELECT count(*) FROM lsh_pairs l
+               JOIN exact_pairs e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+              * 1.0 / greatest((SELECT count(*) FROM lsh_pairs), 1), 4) AS precision
+    """,
+    category="dedup",
+)
+def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family quality report (sibling of similarity_ann_recall_report):
+    MinHash-LSH pairs measured against the exact inverted-index n-gram
+    Jaccard pairs as ground truth — one row of (n_exact, n_lsh, recall,
+    precision). Both pipelines verify candidates with exact Jaccard ≥ 0.8,
+    so precision should be 1.0 and recall isolates exactly what banding
+    loses (the one-permutation xor family's correlated s-curve — see the
+    XOR_SALTS caveat). Driver-visible: the banding quality claim is now a
+    measured artifact, not a docstring assertion."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 4).alias("recall"),
+            F.round(F.col("n_hit") / F.greatest(F.col("n_lsh"), F.lit(1)), 4).alias("precision"),
+        )
+    )
