@@ -3,7 +3,14 @@
 JSON line:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": <sec>, ...},
+     "query_stats": {"q1_pricing_summary": {"min":..,"median":..,"max":..,"n":5}, ...},
+     "sf": 0.1}
+
+``queries`` stays the per-query steady MEDIAN (n >= 5 plan-reuse re-runs);
+``query_stats`` adds min/max so round-over-round deltas on sub-second
+queries can be read as noise (inside the min..max envelope) vs a real plan
+regression (outside it) straight from the artifact.
 
 Each query is materialized through the noop sink (full execution, no
 driver-side result marshalling) so the number measures engine throughput,
@@ -94,8 +101,9 @@ def main() -> int:
     # Every query is fault-isolated: one broken query records an "err"
     # entry and the bench still emits its JSON line for all the others —
     # a single AnalysisException must never zero a whole round's signal.
-    steady_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    steady_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -117,11 +125,23 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 reps.append(time.time() - t0)
             timings[name] = round(statistics.median(reps), 3)
+            # min/median/max per query so sub-300 ms round-over-round deltas
+            # are classifiable as noise vs regression FROM THE ARTIFACT: a
+            # delta inside [min, max] spread is noise; one clearing the whole
+            # envelope is a plan change (VERDICT r4 #3)
+            stats[name] = {
+                "min": round(min(reps), 3),
+                "median": timings[name],
+                "max": round(max(reps), 3),
+                "n": len(reps),
+            }
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            msg = (str(exc).splitlines() or [""])[0][:300]
+            errors[name] = f"{type(exc).__name__}: {msg}"
             # keep cold_total and steady_total aggregating the SAME query
             # set: a query that died mid-steady contributes to neither
             cold.pop(name, None)
+            stats.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -137,6 +157,7 @@ def main() -> int:
         "cold_total": round(sum(cold.values()), 3),
         "steady_total": total,
         "queries": timings,
+        "query_stats": stats,
         "cold_queries": cold,
         "errors": errors,
         "sf": sf,

@@ -93,7 +93,8 @@ def run_incremental_menu(
         raw = with_format(
             spark.read.format("binaryFile").load([r["path"] for r in todo])
         )
-        extracted = extract_binary_text(raw).filter(F.col("success"))
+        all_extracted = extract_binary_text(raw)
+        extracted = all_extracted.filter(F.col("success"))
         docs = extracted.select(
             F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
             "text",
@@ -106,8 +107,21 @@ def run_incremental_menu(
         n_items = spark.read.parquet(out_items).filter(F.col("run_id") == run_id).count()
 
         # manifest LAST: a crash before this line re-processes the same
-        # delta next run (at-least-once, documented)
-        rows = [(r["path"], r["length"], r["mtime"], run_id) for r in todo]
+        # delta next run (at-least-once, documented). Failed extractions are
+        # EXCLUDED from the commit so a transiently-failing file retries on
+        # the next tick instead of being permanently marked processed with
+        # its data silently lost; a permanently-bad file therefore retries
+        # every tick — a production deployment adds an attempt-count column
+        # to cap that (failed set is delta-bounded like the todo list)
+        failed = {
+            r["path"]
+            for r in all_extracted.filter(~F.col("success")).select("path").collect()
+        }
+        rows = [
+            (r["path"], r["length"], r["mtime"], run_id)
+            for r in todo
+            if r["path"] not in failed
+        ]
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
             os.path.join(state_dir, "manifest")
         )

@@ -133,7 +133,13 @@ def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
                         else:
                             text = _stub_text(bytes(content), "pdf")
                             method = "pdf_ocr_fallback"
-                        rows.append((path, text, method, len(text), True, None))
+                        # same success criterion as native_text: an empty OCR
+                        # analyze result is a failed extraction, not a
+                        # zero-char success (consistent across all methods)
+                        rows.append(
+                            (path, text, method, len(text),
+                             len(text.strip()) > 0, None)
+                        )
                     elif ocr_transport is not None:
                         # S5/S6: image OCR through the injected transport
                         from restaurant_etl_spark.sources.ocr import ocr_extract
@@ -145,7 +151,8 @@ def extract_binary_text(df: DataFrame, ocr_transport=None) -> DataFrame:
                             rows.append((path, None, "image_ocr_error", 0, False, err))
                         else:
                             rows.append(
-                                (path, text, "image_azure_ocr", len(text), True, None)
+                                (path, text, "image_azure_ocr", len(text),
+                                 len(text.strip()) > 0, None)
                             )
                     else:
                         # S5/S6 without a transport: engine stubbed in this env

@@ -55,7 +55,10 @@ def _unescape(raw: bytes) -> bytes:
             i += 1
             continue
         nxt = raw[i + 1 : i + 2]
-        if nxt.isdigit():
+        # octal escapes are \0-\7 starts only: \8 and \9 are UNKNOWN escapes
+        # per the PDF spec (drop the backslash), and nxt can be empty for a
+        # trailing backslash — both must miss this branch or int(b"", 8) raises
+        if nxt and nxt in b"01234567":
             j = i + 1
             digits = b""
             while j < len(raw) and len(digits) < 3 and raw[j : j + 1] in b"01234567":

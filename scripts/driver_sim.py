@@ -64,7 +64,8 @@ def main() -> int:
             _run_one(name, fn, spark, sf_dir, oracles, con, canonicalize, failures)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
-            print(f"ERR   {name}: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+            msg = (str(exc).splitlines() or [""])[0][:200]
+            print(f"ERR   {name}: {type(exc).__name__}: {msg}")
 
     print(f"\nDRIVER-SIM: {len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -108,3 +108,23 @@ def test_quote_operators_start_new_lines():
     stream = b"BT (line1) Tj (line2) ' (line3) \" ET"
     pdf = _pdf_bytes(stream, compress=True)
     assert extract_pdf_text(pdf, min_printable_ratio=0.0) == "line1\nline2\nline3"
+
+
+def test_non_octal_digit_escapes_drop_backslash():
+    """\8 and \9 are NOT octal starts: the PDF spec says an unknown escape
+    drops the backslash and keeps the character. A naive isdigit() gate
+    collects zero octal digits and crashes on int(b'', 8) — this page must
+    extract, not become a pdf_error row (ADVICE r4)."""
+    stream = b"BT (v\\8.1 build\\9 \\101ok) Tj ET"
+    pdf = _pdf_bytes(stream, compress=True)
+    # \101 IS octal (= 'A'); \8 \9 keep the digit
+    assert extract_pdf_text(pdf, min_printable_ratio=0.0) == "v8.1 build9 Aok"
+
+
+def test_trailing_backslash_does_not_crash():
+    stream = b"BT (tail\\) Tj (x\\\\) Tj ET"
+    pdf = _pdf_bytes(stream, compress=True)
+    # first string: trailing backslash escapes the ')' so the string
+    # actually extends — extractor must not raise either way
+    out = extract_pdf_text(pdf, min_printable_ratio=0.0)
+    assert "x\\" in out
