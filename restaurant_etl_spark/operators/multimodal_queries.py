@@ -15,11 +15,13 @@ for PIL/libav on a real cluster; this query's plumbing is unchanged.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from restaurant_etl_spark.operators.registry import register
-from restaurant_etl_spark.sources.multimodal import extract_features
+from restaurant_etl_spark.sources.multimodal import MEDIA_SCHEMA, extract_features
 from restaurant_etl_spark.sources.tables import load_table
 
 
@@ -79,6 +81,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.abs(F.sqrt(sq_norm) - 1.0) < 1e-3).alias("unit_norm"),
     )
+
+
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → media rows whose content is a REAL PNG, synthesized
+    executor-side by the stdlib encoder: each doc becomes a solid-color
+    (doc_id % 256) image of (doc_id % 5 + 2) × (doc_id % 7 + 2) pixels,
+    written with scanline filter type doc_id % 5 — so the oracle-checked
+    decode exercises None/Sub/Up/Average/Paeth, not just unfiltered data."""
+    from collections.abc import Iterator as _Iter
+
+    from restaurant_etl_spark.sources.media_codecs import encode_png
+
+    def _gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for did in pdf["media_id"]:
+                h = int(did) % 5 + 2
+                w = int(did) % 7 + 2
+                val = int(did) % 256
+                px = np.full((h, w, 3), val, dtype=np.uint8)
+                content.append(encode_png(px, filter_type=int(did) % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": content,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 7 + 2 AS INTEGER) AS img_w,
+           CAST(doc_id % 5 + 2 AS INTEGER) AS img_h,
+           3 AS n_channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+    category="multimodal",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the correctness gate: synthesize genuine PNG
+    payloads (zlib-compressed, filtered scanlines — filter type cycles
+    through all five per doc_id) and recover exact dimensions and pixel
+    values via the stdlib decoder (sources/media_codecs.py:decode_png).
+    The oracle states the geometry and solid-color mean in closed form; a
+    stub that histograms compressed bytes instead of decoding cannot match.
+    Ref: universal_extractor.py:16-24 routes .png as a first-class input."""
+    from restaurant_etl_spark.sources.multimodal import image_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    media = png_media_from_documents(docs)
+    return image_stats(media)
 
 
 @register(

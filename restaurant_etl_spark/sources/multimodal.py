@@ -4,13 +4,14 @@ columns with typed metadata, processed by Arrow-batched pandas transforms.
 Real in this module: the media schema, the mapInPandas plumbing (batch
 shapes, signatures, per-executor decoder lifecycle), metadata handling,
 partitioning — and the DECODE itself for stdlib-decodable containers
-(uncompressed BMP / binary PPM/PGM images, PCM WAV audio; see
-sources/media_codecs.py): real pixels feed the histogram features, real
-samples feed the audio features, and thumbnails are genuine
-nearest-neighbor downsamples re-encoded as PPM. STUBBED: codec-dependent
-formats (JPEG/PNG/MP3/video) — this container ships no imaging/av
-libraries, so those fall back to a deterministic byte-level fake. Swap the
-fallback for PIL/ffmpeg on a real cluster; nothing else changes.
+(PNG with full scanline unfiltering, uncompressed BMP, binary PPM/PGM
+images, PCM WAV audio; see sources/media_codecs.py): real pixels feed
+the histogram features, real samples feed the audio features, and
+thumbnails are genuine nearest-neighbor downsamples re-encoded as PPM.
+STUBBED: codec-dependent formats (JPEG/MP3/video) — this container ships
+no imaging/av libraries, so those fall back to a deterministic byte-level
+fake. Swap the fallback for PIL/ffmpeg on a real cluster; nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -39,6 +40,9 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = "media_id bigint, kind string, n_bytes int, features array<float>"
+IMAGE_STATS_SCHEMA = (
+    "media_id bigint, img_w int, img_h int, n_channels int, mean_pixel double"
+)
 THUMB_SCHEMA = "media_id bigint, thumb binary, thumb_w int, thumb_h int"
 FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
@@ -79,7 +83,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         hist = np.array(
                             [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
                         )
-                    elif fmt in ("bmp", "ppm"):
+                    elif fmt in ("png", "bmp", "ppm"):
                         # real pixel histogram over the decoded image
                         arr = decode_image(raw).ravel()
                         hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
@@ -102,6 +106,34 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_feat, FEATURES_SCHEMA)
 
 
+def image_stats(media: DataFrame) -> DataFrame:
+    """Image metadata extraction: decode each payload with the REAL stdlib
+    codecs and report (width, height, channels, mean pixel value) — the
+    decode-verification surface: a byte-level stub cannot reproduce these
+    because it never sees pixels. Rows whose payload has no stdlib decoder
+    come back null-valued rather than failing the batch (per-item
+    isolation, same contract as extract_features)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    px = decode_image(bytes(content))
+                    h, w = px.shape[0], px.shape[1]
+                    ch = px.shape[2] if px.ndim == 3 else 1
+                    rows.append((mid, w, h, ch, float(px.mean())))
+                except Exception:  # noqa: BLE001 - per-item isolation
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "img_w", "img_h", "n_channels", "mean_pixel"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _stats, IMAGE_STATS_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Thumbnailing: content → smaller binary (STUB: truncated byte stream
     standing in for a real resampled encode). Keeps the binary-in/binary-out
@@ -113,15 +145,20 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 raw = bytes(content)
                 decoded = None
-                if sniff(raw) in ("bmp", "ppm"):
+                if sniff(raw) in ("png", "bmp", "ppm"):
                     try:
                         decoded = decode_image(raw)
                     except Exception:  # noqa: BLE001 - degrade to the stub path
                         decoded = None
                 if decoded is not None:
                     # real thumbnail: nearest-neighbor stride downsample of
-                    # decoded pixels, re-encoded as PPM/PGM (decodable)
+                    # decoded pixels, re-encoded as PPM/PGM (decodable);
+                    # PNG alpha channels are dropped — PPM carries no alpha
                     px = decoded
+                    if px.ndim == 3 and px.shape[2] == 4:
+                        px = px[:, :, :3]
+                    elif px.ndim == 3 and px.shape[2] == 2:
+                        px = px[:, :, 0]
                     ih, iw = px.shape[0], px.shape[1]
                     scale = max(1, (max(iw, ih) + max_side - 1) // max_side)
                     small = px[::scale, ::scale]
