@@ -29,24 +29,23 @@ N_HASHES = 9
 BAND_ROWS = 3
 N_BANDS = N_HASHES // BAND_ROWS
 
-#: The 9 MinHash functions are ONE 60-bit md5 per shingle xor-mixed with 9
-#: fixed 60-bit constants (h_i = base ^ XOR_SALTS[i]) — the one-permutation
-#: trick: md5 is ~50x the cost of the xor, so hashing once cuts signature
-#: CPU ~9x. Caveat (judge-confirmed): xor variants of one base hash are
-#: CORRELATED, not independent permutations — xor permutes values but
-#: preserves most of the base hash's ordering structure, so the LSH
-#: band-collision s-curve is APPROXIMATE, biased toward correlated band
-#: agreement. Acceptable for a candidate generator backed by exact
-#: verification (all our pipelines verify candidates); a production build
-#: chasing tight recall curves would pay for k independent hashes or true
-#: one-permutation-hashing with densification. Constants are md5-derived
-#: at import so the DuckDB oracle embeds the identical literals.
-import hashlib as _hashlib
-
-XOR_SALTS = [
-    int(_hashlib.md5(f"minhash-salt-{i}".encode()).hexdigest()[:15], 16)
-    for i in range(N_HASHES)
-]
+#: The 9 MinHash slots use TRUE one-permutation hashing (OPH) with
+#: rotation densification (Shrivastava & Li, "Densifying One Permutation
+#: Hashing via Rotation for Sparse Data", ICML 2014): ONE 60-bit md5 per
+#: shingle, the hash space split into 9 bins by h % 9, slot i = min hash
+#: landing in bin i. Bins are disjoint samples of one permutation, so the
+#: slots are unbiased MinHash estimates with the independence the earlier
+#: xor-salt family lacked — and the per-shingle cost is lower still (one
+#: md5, one modulo; no per-slot mixing at all). Empty bins (possible for
+#: short docs: ~(8/9)^n per bin at n shingles) borrow the value of the
+#: nearest non-empty bin to the right (circular), offset by delta ×
+#: DENSIFY_C so different rotation distances stay distinguishable in band
+#: keys. Every doc with ≥1 shingle has ≥1 non-empty bin, so densification
+#: always terminates.
+#:
+#: DENSIFY_C = 2^59: max densified value < 2^60 + 8·2^59 = 5·2^60 ≪ 2^63,
+#: so the arithmetic never overflows BIGINT on either engine.
+DENSIFY_C = 1 << 59
 
 #: near-dup thresholds
 JACCARD_THRESHOLD = 0.8
@@ -95,6 +94,36 @@ _SHINGLE_SQL = """
                            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
                     FROM documents))
 """
+
+
+def _oph_sig_sql(n_hashes: int = N_HASHES) -> str:
+    """DuckDB replica of minhash_signatures: same base md5, same binning,
+    same rotation densification — expects a CTE named ``sh`` in scope."""
+    mins = ", ".join(
+        f"min(CASE WHEN h % {n_hashes} = {i} THEN h END) AS m{i}"
+        for i in range(n_hashes)
+    )
+    dens = ", ".join(
+        "coalesce("
+        + ", ".join(
+            f"m{(i + d) % n_hashes}" + (f" + {d * DENSIFY_C}" if d else "")
+            for d in range(n_hashes)
+        )
+        + f") AS h{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+        SELECT doc_id, {dens} FROM (
+            SELECT doc_id, {mins}
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                  FROM sh)
+            GROUP BY doc_id
+        )
+    """
+
+
+_SIG_SQL = _oph_sig_sql()
 
 
 def _exact_jaccard_pairs(
@@ -225,16 +254,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig array<bigint>): per-doc MinHash signature, hash i =
-    min over shingles of (h60(shingle) ^ XOR_SALTS[i]) where h60 is the
-    first 60 bits of one md5 per shingle. One groupBy on doc_id; the md5
-    is computed once and the 9 variants are register-cheap xors."""
+    """(doc_id, sig array<bigint>): per-doc one-permutation MinHash
+    signature. Slot i = min over the doc's shingles of h60(shingle) where
+    h60 % n_hashes == i (h60 = first 60 bits of one md5 per shingle);
+    empty slots are densified by circular rotation with a per-step
+    DENSIFY_C offset. One groupBy on doc_id, one md5 per shingle, and the
+    whole computation stays inside whole-stage codegen."""
     base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     t = sh.withColumn("h60", base)
     mins = [
-        F.min(F.expr(f"h60 ^ {XOR_SALTS[i]}L")).alias(f"h{i}") for i in range(n_hashes)
+        F.min(F.when(F.col("h60") % n_hashes == i, F.col("h60"))).alias(f"m{i}")
+        for i in range(n_hashes)
     ]
-    sig = t.groupBy("doc_id").agg(*mins)
+    raw = t.groupBy("doc_id").agg(*mins)
+    dens = [
+        F.coalesce(
+            *[
+                F.col(f"m{(i + d) % n_hashes}") + F.lit(d * DENSIFY_C)
+                if d
+                else F.col(f"m{i}")
+                for d in range(n_hashes)
+            ]
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = raw.select("doc_id", *dens)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
@@ -242,14 +286,7 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (
-        SELECT doc_id,
-               {", ".join(
-                   f"min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, {XOR_SALTS[i]})) AS h{i}"
-                   for i in range(N_HASHES)
-               )}
-        FROM sh GROUP BY doc_id
-    ),
+    sig AS ({_SIG_SQL}),
     bands AS (
         {" UNION ALL ".join(
             f"SELECT doc_id, {k} AS band_idx, "
@@ -276,7 +313,8 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     category="dedup",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle → 9 salted-md5 minhashes →
+    """MinHash-LSH near-dup pairs: shingle → 9-slot one-permutation
+    MinHash signature (rotation-densified) →
     3 bands × 3 rows → band-bucket self-join for candidates → exact-Jaccard
     verify (≥ 0.8) on candidates only.
 
@@ -639,14 +677,7 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_keep",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (
-        SELECT doc_id,
-               {", ".join(
-                   f"min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, {XOR_SALTS[i]})) AS h{i}"
-                   for i in range(N_HASHES)
-               )}
-        FROM sh GROUP BY doc_id
-    ),
+    sig AS ({_SIG_SQL}),
     bands AS (
         {" UNION ALL ".join(
             f"SELECT doc_id, {k} AS band_idx, "
@@ -805,10 +836,11 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH pairs measured against the exact inverted-index n-gram
     Jaccard pairs as ground truth — one row of (n_exact, n_lsh, recall,
     precision). Both pipelines verify candidates with exact Jaccard ≥ 0.8,
-    so precision should be 1.0 and recall isolates exactly what banding
-    loses (the one-permutation xor family's correlated s-curve — see the
-    XOR_SALTS caveat). Driver-visible: the banding quality claim is now a
-    measured artifact, not a docstring assertion."""
+    so precision should be 1.0 and recall isolates exactly what 3×3
+    banding loses at the 0.8 threshold (the signature slots are unbiased
+    disjoint samples of one permutation — densified OPH — so the s-curve
+    is the textbook 1-(1-j³)³). Driver-visible: the banding quality claim
+    is a measured artifact, not a docstring assertion."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     hit = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
