@@ -275,6 +275,28 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard row cap for exact all-pairs baselines: above this the O(n²)
+#: comparison is REFUSED with a clear error instead of silently attempting
+#: n²/2 cosine evaluations (200k rows ≈ 2×10^10 pairs — already days of
+#: compute; at 100 TB it is uncomputable). The production path is
+#: dedup_embedding_keep (LSH-bucketed, linear output); this baseline
+#: exists only to calibrate it at small scale factors.
+EXACT_BASELINE_MAX_ROWS = 200_000
+
+
+def _guard_exact_baseline(df: DataFrame, name: str) -> None:
+    """Refuse to run a quadratic exact baseline above the documented cap —
+    one metadata-cheap count against n²-blowup protection."""
+    n = df.count()
+    if n > EXACT_BASELINE_MAX_ROWS:
+        raise ValueError(
+            f"{name} is an exact all-pairs O(n^2) baseline capped at "
+            f"{EXACT_BASELINE_MAX_ROWS} rows (got {n}). Use the linear "
+            f"LSH-bucketed production sibling (dedup_embedding_keep / "
+            f"the ANN variants) at this scale."
+        )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -292,8 +314,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     (threshold 0.3 on this corpus; semantic-dedup uses ~0.95 on real
     embeddings). This is the ground-truth path; similarity_lsh_candidates
-    is the bucketed scale path that avoids the quadratic comparison."""
+    is the bucketed scale path that avoids the quadratic comparison.
+
+    SIZE-GUARDED: refuses inputs above EXACT_BASELINE_MAX_ROWS (200k)
+    rather than silently attempting O(n²) — calibration runs happen at
+    small scale factors by design; production dedup is
+    dedup_embedding_keep."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    _guard_exact_baseline(e, "dedup_embedding_cosine")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = cosine(_dvec("va"), _dvec("vb"))

@@ -65,3 +65,19 @@ def test_cap_bounds_posting_list(spark):
     capped = _exact_jaccard_pairs(sh, threshold=0.0, df_cap=5).collect()
     assert len(uncapped) == 66  # C(12,2): every doc pairs with every other
     assert len(capped) == 1
+
+
+def test_exact_baseline_size_guard(spark, monkeypatch):
+    """dedup_embedding_cosine must REFUSE to run its O(n^2) comparison
+    above the documented row cap — a clear error, not a silent attempt
+    (VERDICT r4 #5). The cap is lowered so the sf0.001 fixture trips it."""
+    import pytest
+
+    from restaurant_etl_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "EXACT_BASELINE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) baseline capped at 10"):
+        similarity.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    # and under the cap it still runs (the guard is a gate, not a break)
+    monkeypatch.setattr(similarity, "EXACT_BASELINE_MAX_ROWS", 10_000_000)
+    assert similarity.dedup_embedding_cosine(spark, "/root/testdata/sf0.001").count() >= 0
