@@ -291,6 +291,91 @@ def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_menu_scans(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the first 40 menu docs as SCANNED media: even doc_ids as PNG
+    images, odd doc_ids as text-layer-free PDFs wrapping a DeviceGray
+    image XObject — both rendered with the 5×5 glyph font
+    (sources/glyph_ocr.py). Fingerprint-keyed and atomic like
+    _stage_menu_txt; driver-side fixture setup of 40 tiny files."""
+    import os as _os
+
+    from restaurant_etl_spark.sources.glyph_ocr import (
+        make_scanned_pdf,
+        render_text_image,
+    )
+    from restaurant_etl_spark.sources.media_codecs import encode_png
+    from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
+
+    def build(scratch: str) -> None:
+        docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 40))
+        for r in docs.collect():
+            px = render_text_image(r["text"])
+            if r["doc_id"] % 2 == 0:
+                with open(_os.path.join(scratch, f"{r['doc_id']}.png"), "wb") as fh:
+                    fh.write(encode_png(px, filter_type=int(r["doc_id"]) % 5))
+            else:
+                with open(_os.path.join(scratch, f"{r['doc_id']}.pdf"), "wb") as fh:
+                    fh.write(make_scanned_pdf(px))
+
+    return stage_once(
+        f"menu_scans_{_os.path.basename(_os.path.normpath(sf_dir))}",
+        source_fingerprint(_os.path.join(sf_dir, "part.parquet")),
+        build,
+    )
+
+
+@register(
+    "menu_ocr_scanned_docs",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey AS doc_id,
+               p_partkey % 4 AS mode,
+               p_name AS name,
+               floor(p_retailprice) AS b
+        FROM part WHERE p_partkey < 40
+    )
+    SELECT doc_id,
+           upper(CASE mode
+             WHEN 0 THEN name || ' .... $' || printf('%.2f', b + 0.25)
+             WHEN 1 THEN name || ' (Half/Full) $' || printf('%.2f', b + 0.5)
+                      || '/$' || printf('%.2f', b + 1)
+             WHEN 2 THEN name || ' $' || printf('%.2f', b + 1) || '/$'
+                      || printf('%.2f', b + 2) || '/$' || printf('%.2f', b + 3)
+             ELSE name || ' (Vegetarian) $' || printf('%.2f', b + 0.75)
+           END) AS text,
+           CASE WHEN doc_id % 2 = 0 THEN 'image_azure_ocr'
+                ELSE 'pdf_azure_ocr' END AS extraction_method,
+           TRUE AS success
+    FROM m
+    """,
+    category="menu",
+)
+def menu_ocr_scanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + S5 under the correctness gate with REAL pixels end-to-end: menu
+    docs rendered as glyph rasters (PNG images and scanned PDFs with no
+    text layer), scanned back through binaryFile → format routing → the
+    OCR fallback/image paths with the in-sandbox template-matching
+    transport (sources/glyph_ocr.py), word-confidence gates active. The
+    oracle states the recognized text in closed form (the glyph font is
+    uppercase-fold, hence upper()); a canned-string stub cannot match it.
+    Ref: pdf_extractor.py:56-97 (fallback threshold + OCR),
+    image_extractor.py:16-87 (image OCR), azure_ocr_extractor.py:22-39."""
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+    from restaurant_etl_spark.sources.glyph_ocr import template_ocr_transport
+
+    stage = _stage_menu_scans(spark, sf_dir)
+    raw = with_format(read_binary_dir(spark, stage))
+    extracted = extract_binary_text(raw, ocr_transport=template_ocr_transport)
+    doc_id = F.regexp_extract("path", r"([0-9]+)\.(?:png|pdf)$", 1).cast("bigint")
+    return extracted.select(
+        doc_id.alias("doc_id"), "text", "extraction_method", "success"
+    )
+
+
 @register(
     "menu_extraction_confidence",
     oracle="""

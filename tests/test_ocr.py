@@ -94,3 +94,106 @@ def test_spark_extraction_with_injected_ocr_transport(spark, tmp_path):
     photo = rows["photo.jpg"]
     assert photo["extraction_method"] == "image_azure_ocr"
     assert photo["text"].startswith("SNACKS")
+
+
+# ------------------------------------------------- template OCR (real pixels)
+
+
+def test_glyph_ocr_spark_end_to_end_on_real_pixels(spark, tmp_path):
+    """S4 + S5 with REAL decoded pixels, no canned strings anywhere:
+    render glyph text → PNG image files and a scanned PDF (embedded
+    DeviceGray XObject, no text layer) → binaryFile → extract_binary_text
+    with the template-matching transport. The recognizer sees only pixels
+    that came back out of the real codecs."""
+    import numpy as np
+
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+    from restaurant_etl_spark.sources.glyph_ocr import (
+        make_scanned_pdf,
+        render_text_image,
+        template_ocr_transport,
+    )
+    from restaurant_etl_spark.sources.media_codecs import encode_png
+
+    menu_a = "SNACKS\nSAMOSA .... $5.00"
+    menu_b = "DRINKS\nTEA: $2.50/$4.75"
+    (tmp_path / "a.png").write_bytes(encode_png(render_text_image(menu_a), filter_type=2))
+    (tmp_path / "scan.pdf").write_bytes(make_scanned_pdf(render_text_image(menu_b)))
+
+    rows = {
+        r["path"].rsplit("/", 1)[1]: r
+        for r in extract_binary_text(
+            with_format(read_binary_dir(spark, str(tmp_path))),
+            ocr_transport=template_ocr_transport,
+        ).collect()
+    }
+    a = rows["a.png"]
+    assert a["extraction_method"] == "image_azure_ocr" and a["success"]
+    assert a["text"] == menu_a
+    b = rows["scan.pdf"]
+    assert b["extraction_method"] == "pdf_azure_ocr" and b["success"]
+    assert b["text"] == menu_b
+
+
+def test_glyph_ocr_confidence_gate_drops_corrupted_pixels(spark, tmp_path):
+    """P3 confidence cutoffs exercised by genuinely bad pixels: a
+    checkerboard-corrupted line must fall below the 0.6 image gate (its
+    best-vs-second glyph margin collapses) while clean lines pass at 1.0."""
+    import numpy as np
+
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+    from restaurant_etl_spark.sources.glyph_ocr import (
+        GLYPH_H,
+        LINE_H,
+        render_text_image,
+        template_ocr_transport,
+    )
+    from restaurant_etl_spark.sources.media_codecs import encode_png
+
+    img = render_text_image("KEEP THIS LINE\nDROP THIS ONE: $9.99").copy()
+    y0 = 1 + 1 * LINE_H  # second line's glyph band
+    band = img[y0 : y0 + GLYPH_H]
+    img[y0 : y0 + GLYPH_H] = np.where(
+        (np.indices(band.shape).sum(axis=0) % 2) == 0, 255 - band, band
+    )
+    (tmp_path / "noisy.png").write_bytes(encode_png(img))
+
+    row = extract_binary_text(
+        with_format(read_binary_dir(spark, str(tmp_path))),
+        ocr_transport=template_ocr_transport,
+    ).collect()[0]
+    assert row["extraction_method"] == "image_azure_ocr"
+    assert row["text"] == "KEEP THIS LINE"  # corrupted line gated out
+
+
+def test_glyph_ocr_pdf_fallback_threshold_still_respects_text_layer(spark, tmp_path):
+    """A PDF with >= 60 chars of real text layer must take the native path
+    and never reach the transport, even when one is injected."""
+    from restaurant_etl_spark.sources.binary import (
+        extract_binary_text,
+        read_binary_dir,
+        with_format,
+    )
+    from tests.test_pdf_text import _pdf_bytes
+
+    long_stream = b"BT " + b" ".join(
+        b"(Dish number %d costs $%d.00) Tj 0 -14 Td" % (i, i) for i in range(10)
+    ) + b" ET"
+    (tmp_path / "textlayer.pdf").write_bytes(_pdf_bytes(long_stream, compress=True))
+
+    def exploding_transport(content):
+        raise AssertionError("native-text PDFs must not reach OCR")
+
+    row = extract_binary_text(
+        with_format(read_binary_dir(spark, str(tmp_path))),
+        ocr_transport=exploding_transport,
+    ).collect()[0]
+    assert row["extraction_method"] == "pdf_native_text" and row["success"]
