@@ -15,6 +15,14 @@ Scale notes: state size is bounded by the watermark horizon; keys are
 (user_id, ...) so state partitions hash-evenly; availableNow is the batch
 backfill path — the same code deploys against a real source (Kafka etc.)
 by swapping the reader.
+
+State backend: a 100 TB deployment sets
+``spark.sql.streaming.stateStore.providerClass`` to
+``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+so per-executor state lives off-heap/on-disk instead of in JVM memory
+maps (rocksdbjni ships inside Spark — no extra dependency). Every
+kill-and-resume restart test in tests/test_streaming.py runs under BOTH
+the default and the RocksDB provider; no job code changes between them.
 """
 
 from __future__ import annotations

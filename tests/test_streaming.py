@@ -142,7 +142,35 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     assert (t0, 3) not in emitted
 
 
-def test_stateful_running_totals_across_restarts(spark, sf_dir, tmp_path):
+#: The state backend a 100 TB deployment actually runs: RocksDB keeps
+#: state off-heap/on-disk per executor instead of in JVM memory maps.
+#: Every kill-and-resume test below runs under BOTH providers — restart
+#: correctness must not depend on the default in-memory backend
+#: (rocksdbjni ships inside pyspark's jars; no extra dependency).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_store_provider(request, spark):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    if request.param == "rocksdb":
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield request.param
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+def test_stateful_running_totals_across_restarts(
+    spark, sf_dir, tmp_path, state_store_provider
+):
     """applyInPandasWithState keeps per-user state in the checkpoint: after
     replaying the events in two separate runs (second half arrives after a
     restart), the latest emitted totals equal the full batch aggregate."""
@@ -237,7 +265,9 @@ def _median_ts(df):
     return df.approxQuantile("ts_sec", [0.5], 0.0)[0]
 
 
-def test_interval_join_restart_no_dup_no_loss(spark, sf_dir, tmp_path):
+def test_interval_join_restart_no_dup_no_loss(
+    spark, sf_dir, tmp_path, state_store_provider
+):
     from restaurant_etl_spark.streaming import view_purchase_interval_join
 
     events = spark.read.parquet(
@@ -281,7 +311,9 @@ def test_interval_join_restart_no_dup_no_loss(spark, sf_dir, tmp_path):
     assert len(got) == len(set(got))  # and no duplicate pairs at all
 
 
-def test_session_windows_restart_no_dup_no_loss(spark, sf_dir, tmp_path):
+def test_session_windows_restart_no_dup_no_loss(
+    spark, sf_dir, tmp_path, state_store_provider
+):
     """Sessions straddling the restart boundary must merge across runs.
     Append mode only emits a session once the watermark passes its close,
     so a third run appends a far-future sentinel event to flush the tail."""
