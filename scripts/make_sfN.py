@@ -1,0 +1,134 @@
+"""Synthesize a larger scale point by key-remapped duplication of an
+existing one (round-4 directive #4): ``mult`` copies of every fact table
+with disjoint key ranges, so joins stay FK-consistent, group cardinalities
+scale with the data, and no cross-copy row collapses into a duplicate.
+
+Per-copy transforms (copy k = 0 is the identity):
+  * every key column shifts by k × a per-domain offset (customer/user,
+    supplier, part, order, event, doc, vec) — the SAME offset wherever the
+    domain appears, so lineitem still joins orders/part/supplier and
+    events still joins customer;
+  * region/nation are NOT duplicated — dimensions don't grow 10× when the
+    fact data does, and the FK range [0,25) must stay intact;
+  * documents.text gets a per-copy suffix on EVERY token ("-c3"), shifting
+    all shingles so copies are not near-duplicates of each other — the
+    dup/near-dup RATE stays that of the source corpus instead of
+    exploding quadratically in mult;
+  * embeddings.embedding is rotated by k positions — cosine between a
+    vector and its rotated copy is ≈0 on this corpus, so ANN/dedup
+    neighborhoods keep their source-scale structure.
+
+Usage: python scripts/make_sfN.py [--mult 10] [--src /root/testdata/sf0.1]
+       [--dst /tmp/spark_graft_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: per-domain key offsets (all ≫ any source key range, all multiples of
+#: 100 so modulo-based fixture selectors keep their per-copy density)
+CUST = 10_000_000  # c_custkey, o_custkey, events.user_id
+SUPP = 10_000_000
+PART = 10_000_000
+ORDER = 100_000_000
+EVENT = 100_000_000
+DOC = 10_000_000
+VEC = 10_000_000
+
+KEY_OFFSETS: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": CUST},
+    "supplier": {"s_suppkey": SUPP},
+    "part": {"p_partkey": PART},
+    "orders": {"o_orderkey": ORDER, "o_custkey": CUST},
+    "lineitem": {"l_orderkey": ORDER, "l_partkey": PART, "l_suppkey": SUPP},
+    "events": {"event_id": EVENT, "user_id": CUST},
+    "documents": {"doc_id": DOC},
+    "embeddings": {"vec_id": VEC},
+}
+
+COPY_AS_IS = ["region", "nation"]
+
+
+def _shift_keys(tbl: pa.Table, offsets: dict[str, int], k: int) -> pa.Table:
+    for col, off in offsets.items():
+        idx = tbl.schema.get_field_index(col)
+        shifted = pc.add(tbl.column(col), pa.scalar(k * off, tbl.schema.field(col).type))
+        tbl = tbl.set_column(idx, tbl.schema.field(col), shifted)
+    return tbl
+
+
+def _copy_documents(tbl: pa.Table, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    suffix = f"-c{k}"
+    texts = [
+        " ".join(tok + suffix for tok in (t or "").split())
+        for t in tbl.column("text").to_pylist()
+    ]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        tbl.schema.field("text"),
+        pa.array(texts, tbl.schema.field("text").type),
+    )
+    n_chars = pa.array(
+        [len(t) for t in texts], tbl.schema.field("n_chars").type
+    )
+    return tbl.set_column(
+        tbl.schema.get_field_index("n_chars"), tbl.schema.field("n_chars"), n_chars
+    )
+
+
+def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    vecs = [
+        np.roll(np.asarray(v, dtype=np.float32), k).tolist()
+        for v in tbl.column("embedding").to_pylist()
+    ]
+    return tbl.set_column(
+        tbl.schema.get_field_index("embedding"),
+        tbl.schema.field("embedding"),
+        pa.array(vecs, tbl.schema.field("embedding").type),
+    )
+
+
+def make_scale_point(src: str, dst: str, mult: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in COPY_AS_IS:
+        pq.write_table(pq.read_table(os.path.join(src, f"{name}.parquet")),
+                       os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: copied as-is")
+    for name, offsets in KEY_OFFSETS.items():
+        base = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        copies = []
+        for k in range(mult):
+            t = _shift_keys(base, offsets, k)
+            if name == "documents":
+                t = _copy_documents(t, k)
+            elif name == "embeddings":
+                t = _copy_embeddings(t, k)
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/spark_graft_sf1")
+    args = ap.parse_args()
+    make_scale_point(args.src, args.dst, args.mult)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
