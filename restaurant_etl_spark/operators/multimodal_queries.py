@@ -83,15 +83,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def png_media_from_documents(docs: DataFrame) -> DataFrame:
-    """documents → media rows whose content is a REAL PNG, synthesized
-    executor-side by the stdlib encoder: each doc becomes a solid-color
-    (doc_id % 256) image of (doc_id % 5 + 2) × (doc_id % 7 + 2) pixels,
-    written with scanline filter type doc_id % 5 — so the oracle-checked
-    decode exercises None/Sub/Up/Average/Paeth, not just unfiltered data."""
+def synth_media_from_documents(docs: DataFrame, fmt: str) -> DataFrame:
+    """documents → media rows whose content is a REAL encoded image
+    (``fmt`` = 'png' or 'gif'), synthesized executor-side by the stdlib
+    encoders: each doc becomes a solid-color (doc_id % 256) image of
+    (doc_id % 5 + 2) × (doc_id % 7 + 2) pixels. PNG rows cycle the
+    scanline filter type through doc_id % 5 so the oracle-checked decode
+    exercises None/Sub/Up/Average/Paeth; GIF rows alternate the two LZW
+    stream styles (real compression / literal+clear) by doc parity."""
     from collections.abc import Iterator as _Iter
 
-    from restaurant_etl_spark.sources.media_codecs import encode_png
+    from restaurant_etl_spark.sources.media_codecs import encode_gif, encode_png
 
     def _gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         for pdf in batches:
@@ -101,7 +103,10 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                 w = int(did) % 7 + 2
                 val = int(did) % 256
                 px = np.full((h, w, 3), val, dtype=np.uint8)
-                content.append(encode_png(px, filter_type=int(did) % 5))
+                if fmt == "png":
+                    content.append(encode_png(px, filter_type=int(did) % 5))
+                else:
+                    content.append(encode_gif(px, literals_only=bool(did % 2)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -139,7 +144,33 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from restaurant_etl_spark.sources.multimodal import image_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
-    media = png_media_from_documents(docs)
+    media = synth_media_from_documents(docs, "png")
+    return image_stats(media)
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 7 + 2 AS INTEGER) AS img_w,
+           CAST(doc_id % 5 + 2 AS INTEGER) AS img_h,
+           3 AS n_channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+    FROM documents
+    WHERE doc_id % 13 = 0
+    """,
+    category="multimodal",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the correctness gate: genuine GIF payloads
+    (palette + full LZW, both stream styles by doc parity) synthesized
+    executor-side and decoded back to exact dimensions and pixel values
+    (sources/media_codecs.py:decode_gif). Same closed-form oracle shape
+    as multimodal_png_decode."""
+    from restaurant_etl_spark.sources.multimodal import image_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    media = synth_media_from_documents(docs, "gif")
     return image_stats(media)
 
 

@@ -1,7 +1,8 @@
 """Pure-stdlib media codecs for the multimodal column operators: the
 formats that need no external library are decoded for REAL — PNG
 (non-interlaced 8-bit gray/palette/RGB/RGBA via stdlib ``zlib`` +
-scanline unfiltering), uncompressed 24-bit BMP, binary PPM/PGM (P6/P5)
+scanline unfiltering), GIF (full LZW with code-width growth and deferred
+clears, first frame), uncompressed 24-bit BMP, binary PPM/PGM (P6/P5)
 images, and PCM WAV audio (stdlib ``wave``). Codec-dependent formats
 (JPEG/MP3/video) still fall back to the deterministic stub in
 sources/multimodal.py — no imaging/av libraries exist in this
@@ -34,6 +35,8 @@ def sniff(content: bytes) -> str | None:
     would accept the empty slice of a 2-byte payload as whitespace.)"""
     if content[:8] == PNG_SIGNATURE:
         return "png"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if content[:2] == b"BM":
         return "bmp"
     if content[:2] in (b"P6", b"P5") and content[2:3] in (b" ", b"\t", b"\r", b"\n"):
@@ -269,10 +272,220 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# ------------------------------------------------------------------ GIF ----
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code width
+    growing 1 bit as the table fills (max 12), table frozen at 4096 until
+    the encoder sends a clear (deferred-clear handling)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + code_size > total_bits:
+            break
+        byte_idx = bitpos >> 3
+        window = int.from_bytes(data[byte_idx : byte_idx + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated LZW pixel data")
+    return bytes(out[:expected])
+
+
+class _BitWriter:
+    """LSB-first bit packer (the GIF LZW byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real LZW compression, the mirror of _lzw_decode's growth rule: the
+    encoder widens after its next_code passes (1 << size) — one step after
+    the decoder, which is one table entry behind when it reads."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    w = _BitWriter()
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w.write(clear, code_size)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        w.write(table[buf], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        buf = bytes([b])
+    if buf:
+        w.write(table[buf], code_size)
+    w.write(end, code_size)
+    return w.finish()
+
+
+def _lzw_encode_literals(indices: bytes, min_code_size: int) -> bytes:
+    """The classic 'uncompressed GIF' stream: literal codes only, with a
+    clear code re-sent before the decoder's table would force a code-width
+    change. A structurally different encoder from _lzw_encode, so decoder
+    tests cross-check two independent stream shapes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    # decoder adds one table entry per literal after the first; stay clear
+    # of the (1 << code_size) - (end + 1) budget with margin
+    chunk = (1 << code_size) - (end + 1) - 2
+    w = _BitWriter()
+    for i in range(0, len(indices), chunk):
+        w.write(clear, code_size)
+        for b in indices[i : i + chunk]:
+            w.write(b, code_size)
+    w.write(end, code_size)
+    return w.finish()
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """GIF87a/89a → HxWx3 uint8 (first frame): header walk, color table,
+    sub-block reassembly, full LZW decode. Interlaced images raise (fall
+    back to the stub) — everything else, including deferred clears and
+    local color tables, is handled."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 14:
+        raise ValueError("truncated GIF header")
+    flags = content[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        marker = content[pos]
+        if marker == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 7) + 1)
+                lct = np.frombuffer(content, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if lct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                sz = content[pos]
+                data += content[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code_size, iw * ih), np.uint8
+            ).astype(np.int32)
+            if int(idx.max(initial=0)) >= lct.shape[0]:
+                raise ValueError("GIF pixel index outside color table")
+            return lct[idx.reshape(ih, iw)].copy()
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def encode_gif(px: np.ndarray, literals_only: bool = False) -> bytes:
+    """HxWx3 uint8 (≤256 distinct colors) → single-frame GIF89a. Palette is
+    built from the image; ``literals_only`` switches to the clear-heavy
+    uncompressed-style stream (see _lzw_encode_literals)."""
+    h, w_, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    indices = inverse.astype(np.uint8).tobytes()
+    min_code_size = 8
+    lzw = (_lzw_encode_literals if literals_only else _lzw_encode)(
+        indices, min_code_size
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w_, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w_, h, 0)
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(content: bytes) -> np.ndarray:
     kind = sniff(content)
     if kind == "png":
         return decode_png(content)
+    if kind == "gif":
+        return decode_gif(content)
     if kind == "bmp":
         return decode_bmp(content)
     if kind == "ppm":

@@ -83,7 +83,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         hist = np.array(
                             [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
                         )
-                    elif fmt in ("png", "bmp", "ppm"):
+                    elif fmt in ("png", "gif", "bmp", "ppm"):
                         # real pixel histogram over the decoded image
                         arr = decode_image(raw).ravel()
                         hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
@@ -145,7 +145,7 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 raw = bytes(content)
                 decoded = None
-                if sniff(raw) in ("png", "bmp", "ppm"):
+                if sniff(raw) in ("png", "gif", "bmp", "ppm"):
                     try:
                         decoded = decode_image(raw)
                     except Exception:  # noqa: BLE001 - degrade to the stub path

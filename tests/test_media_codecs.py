@@ -237,3 +237,74 @@ def test_png_rgba_thumbnail_drops_alpha(spark):
     small = decode_ppm(bytes(thumb["thumb"]))
     assert small.shape == (50, 40, 3)  # alpha gone, PPM decodable
     assert np.array_equal(small[0, 0], rgba[0, 0, :3])
+
+
+# ---------------------------------------------------------------- GIF ----
+
+def test_gif_roundtrip_both_encoders():
+    """Two structurally different LZW streams — real compression and the
+    clear-heavy literal ('uncompressed GIF') style — must both decode to
+    identical pixels, cross-checking the decoder's clear handling, code
+    growth, and KwKwK path."""
+    from restaurant_etl_spark.sources.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for shape, ncolors in [((7, 11), 4), ((64, 64), 16), ((120, 200), 250)]:
+        pal = rng.integers(0, 256, size=(ncolors, 3))
+        px = pal[rng.integers(0, ncolors, size=shape)].astype(np.uint8)
+        for lit in (False, True):
+            blob = encode_gif(px, literals_only=lit)
+            assert sniff(blob) == "gif"
+            assert np.array_equal(decode_gif(blob), px), (shape, ncolors, lit)
+
+
+def test_gif_full_table_deferred_clear():
+    """Low-entropy 250-color noise at 24k pixels drives the LZW table past
+    4096 entries: the encoder freezes it (no clear) and the decoder must
+    keep using 12-bit codes without corrupting — the deferred-clear case."""
+    from restaurant_etl_spark.sources.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(250, 3))
+    px = pal[rng.integers(0, 250, size=(150, 220))].astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+
+def test_gif_kwkwk_and_run_lengths():
+    """Solid runs produce the classic KwKwK code-just-created case."""
+    from restaurant_etl_spark.sources.media_codecs import decode_gif, encode_gif
+
+    px = np.zeros((32, 32, 3), dtype=np.uint8)
+    px[:, 16:] = (200, 10, 30)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+
+def test_gif_rejects_interlaced_and_garbage():
+    import pytest as _pytest
+
+    from restaurant_etl_spark.sources.media_codecs import decode_gif, encode_gif
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_gif(px))
+    # image descriptor flags byte: header(13) + GCT(768) + 1 marker + 8 geom
+    flags_at = 13 + 768 + 9
+    assert blob[13 + 768] == 0x2C
+    blob[flags_at] |= 0x40  # set interlace bit
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(blob))
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00\x00")
+
+
+def test_gif_features_through_spark(spark):
+    """A solid-white GIF through the feature path lands all histogram mass
+    in the last bin — the real LZW decoder fed the histogram, not the
+    byte stub."""
+    from restaurant_etl_spark.sources.media_codecs import encode_gif
+
+    white = np.full((8, 8, 3), 255, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", encode_gif(white), (8, 8, None, "gif"))], MEDIA_SCHEMA
+    )
+    feats = extract_features(media).collect()[0]["features"]
+    assert feats[-1] == 1.0 and sum(feats[:-1]) == 0.0
