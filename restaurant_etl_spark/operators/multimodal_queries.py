@@ -93,6 +93,7 @@ def synth_media_from_documents(docs: DataFrame, fmt: str) -> DataFrame:
     stream styles (real compression / literal+clear) by doc parity."""
     from collections.abc import Iterator as _Iter
 
+    from restaurant_etl_spark.sources.jpeg_codec import encode_jpeg
     from restaurant_etl_spark.sources.media_codecs import encode_gif, encode_png
 
     def _gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
@@ -105,6 +106,10 @@ def synth_media_from_documents(docs: DataFrame, fmt: str) -> DataFrame:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
                 if fmt == "png":
                     content.append(encode_png(px, filter_type=int(did) % 5))
+                elif fmt == "jpeg":
+                    # grayscale: flat blocks quantize losslessly at q=1, so
+                    # the decoded mean is exactly val (the oracle's claim)
+                    content.append(encode_jpeg(px[:, :, 0]))
                 else:
                     content.append(encode_gif(px, literals_only=bool(did % 2)))
             yield pd.DataFrame(
@@ -145,6 +150,35 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
     media = synth_media_from_documents(docs, "png")
+    return image_stats(media)
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 7 + 2 AS INTEGER) AS img_w,
+           CAST(doc_id % 5 + 2 AS INTEGER) AS img_h,
+           1 AS n_channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+    FROM documents
+    WHERE doc_id % 17 = 0
+    """,
+    category="multimodal",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the correctness gate: grayscale
+    JPEGs synthesized executor-side (full FDCT → quantize → Huffman
+    entropy coding, q=1) and decoded back through the complete Huffman +
+    IDCT pipeline (sources/jpeg_codec.py). Solid-color flat blocks carry
+    only a DC coefficient, which quantizes losslessly — so the decoded
+    mean is EXACTLY doc_id % 256 and DuckDB can state it in closed form.
+    Ref: universal_extractor.py:16-24 routes .jpg/.jpeg as primary
+    inputs."""
+    from restaurant_etl_spark.sources.multimodal import image_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    media = synth_media_from_documents(docs, "jpeg")
     return image_stats(media)
 
 

@@ -1,12 +1,12 @@
 """Pure-stdlib media codecs for the multimodal column operators: the
 formats that need no external library are decoded for REAL — PNG
 (non-interlaced 8-bit gray/palette/RGB/RGBA via stdlib ``zlib`` +
-scanline unfiltering), GIF (full LZW with code-width growth and deferred
-clears, first frame), uncompressed 24-bit BMP, binary PPM/PGM (P6/P5)
-images, and PCM WAV audio (stdlib ``wave``). Codec-dependent formats
-(JPEG/MP3/video) still fall back to the deterministic stub in
-sources/multimodal.py — no imaging/av libraries exist in this
-environment, and a fake JPEG decoder would be worse than an honest stub.
+scanline unfiltering), baseline JPEG (full Huffman + IDCT pipeline,
+sources/jpeg_codec.py), GIF (full LZW with code-width growth and
+deferred clears, first frame), uncompressed 24-bit BMP, binary PPM/PGM
+(P6/P5) images, and PCM WAV audio (stdlib ``wave``). Only genuinely
+codec-library-bound formats (MP3/video containers) still fall back to
+the deterministic stub in sources/multimodal.py.
 
 PNG matters most here: the reference routes ``.png`` as a first-class
 image input (universal_extractor.py:16-24), and its whole compression
@@ -35,6 +35,8 @@ def sniff(content: bytes) -> str | None:
     would accept the empty slice of a 2-byte payload as whitespace.)"""
     if content[:8] == PNG_SIGNATURE:
         return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if content[:2] == b"BM":
@@ -484,6 +486,10 @@ def decode_image(content: bytes) -> np.ndarray:
     kind = sniff(content)
     if kind == "png":
         return decode_png(content)
+    if kind == "jpeg":
+        from restaurant_etl_spark.sources.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(content)
     if kind == "gif":
         return decode_gif(content)
     if kind == "bmp":

@@ -3,15 +3,16 @@ columns with typed metadata, processed by Arrow-batched pandas transforms.
 
 Real in this module: the media schema, the mapInPandas plumbing (batch
 shapes, signatures, per-executor decoder lifecycle), metadata handling,
-partitioning — and the DECODE itself for stdlib-decodable containers
-(PNG with full scanline unfiltering, uncompressed BMP, binary PPM/PGM
-images, PCM WAV audio; see sources/media_codecs.py): real pixels feed
-the histogram features, real samples feed the audio features, and
-thumbnails are genuine nearest-neighbor downsamples re-encoded as PPM.
-STUBBED: codec-dependent formats (JPEG/MP3/video) — this container ships
-no imaging/av libraries, so those fall back to a deterministic byte-level
-fake. Swap the fallback for PIL/ffmpeg on a real cluster; nothing else
-changes.
+partitioning — and the DECODE itself for every image format the
+reference routes (PNG with full scanline unfiltering, baseline JPEG with
+full Huffman+IDCT, GIF with full LZW, uncompressed BMP, binary PPM/PGM)
+plus PCM WAV audio; see sources/media_codecs.py and
+sources/jpeg_codec.py: real pixels feed the histogram features, real
+samples feed the audio features, and thumbnails are genuine
+nearest-neighbor downsamples re-encoded as PPM. STUBBED: only
+codec-library-bound audio/video containers (MP3/MP4) fall back to a
+deterministic byte-level fake. Swap the fallback for ffmpeg on a real
+cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -83,7 +84,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         hist = np.array(
                             [float(np.sqrt(np.mean(np.square(w)))) if w.size else 0.0 for w in windows]
                         )
-                    elif fmt in ("png", "gif", "bmp", "ppm"):
+                    elif fmt in ("png", "jpeg", "gif", "bmp", "ppm"):
                         # real pixel histogram over the decoded image
                         arr = decode_image(raw).ravel()
                         hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
@@ -145,7 +146,7 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 raw = bytes(content)
                 decoded = None
-                if sniff(raw) in ("png", "gif", "bmp", "ppm"):
+                if sniff(raw) in ("png", "jpeg", "gif", "bmp", "ppm"):
                     try:
                         decoded = decode_image(raw)
                     except Exception:  # noqa: BLE001 - degrade to the stub path
