@@ -292,10 +292,11 @@ def menu_pipeline_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_menu_scans(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the first 40 menu docs as SCANNED media: even doc_ids as PNG
-    images, odd doc_ids as text-layer-free PDFs wrapping a DeviceGray
-    image XObject — both rendered with the 5×5 glyph font
-    (sources/glyph_ocr.py). Fingerprint-keyed and atomic like
+    """Stage the first 40 menu docs as SCANNED media: doc_id % 4 == 0 as
+    PNG, % 4 == 2 as baseline JPEG (q=1 — near-lossless, the binarizer
+    tolerates the ±1 rounding), odd doc_ids as text-layer-free PDFs
+    wrapping a DeviceGray image XObject — all rendered with the 5×5 glyph
+    font (sources/glyph_ocr.py). Fingerprint-keyed and atomic like
     _stage_menu_txt; driver-side fixture setup of 40 tiny files."""
     import os as _os
 
@@ -303,6 +304,7 @@ def _stage_menu_scans(spark: SparkSession, sf_dir: str) -> str:
         make_scanned_pdf,
         render_text_image,
     )
+    from restaurant_etl_spark.sources.jpeg_codec import encode_jpeg
     from restaurant_etl_spark.sources.media_codecs import encode_png
     from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
 
@@ -310,15 +312,21 @@ def _stage_menu_scans(spark: SparkSession, sf_dir: str) -> str:
         docs = _part_menu_docs(_t(spark, sf_dir, "part").filter(F.col("p_partkey") < 40))
         for r in docs.collect():
             px = render_text_image(r["text"])
-            if r["doc_id"] % 2 == 0:
-                with open(_os.path.join(scratch, f"{r['doc_id']}.png"), "wb") as fh:
-                    fh.write(encode_png(px, filter_type=int(r["doc_id"]) % 5))
+            did = int(r["doc_id"])
+            if did % 4 == 0:
+                with open(_os.path.join(scratch, f"{did}.png"), "wb") as fh:
+                    fh.write(encode_png(px, filter_type=did % 5))
+            elif did % 4 == 2:
+                with open(_os.path.join(scratch, f"{did}.jpg"), "wb") as fh:
+                    fh.write(encode_jpeg(px))
             else:
-                with open(_os.path.join(scratch, f"{r['doc_id']}.pdf"), "wb") as fh:
+                with open(_os.path.join(scratch, f"{did}.pdf"), "wb") as fh:
                     fh.write(make_scanned_pdf(px))
 
+    # v2: fixture layout versioned INTO the stage key — stage_once caches by
+    # (name, source fingerprint) only, so a layout change must change name
     return stage_once(
-        f"menu_scans_{_os.path.basename(_os.path.normpath(sf_dir))}",
+        f"menu_scans_v2_{_os.path.basename(_os.path.normpath(sf_dir))}",
         source_fingerprint(_os.path.join(sf_dir, "part.parquet")),
         build,
     )
@@ -352,14 +360,16 @@ def _stage_menu_scans(spark: SparkSession, sf_dir: str) -> str:
 )
 def menu_ocr_scanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 + S5 under the correctness gate with REAL pixels end-to-end: menu
-    docs rendered as glyph rasters (PNG images and scanned PDFs with no
-    text layer), scanned back through binaryFile → format routing → the
-    OCR fallback/image paths with the in-sandbox template-matching
-    transport (sources/glyph_ocr.py), word-confidence gates active. The
-    oracle states the recognized text in closed form (the glyph font is
-    uppercase-fold, hence upper()); a canned-string stub cannot match it.
-    Ref: pdf_extractor.py:56-97 (fallback threshold + OCR),
-    image_extractor.py:16-87 (image OCR), azure_ocr_extractor.py:22-39."""
+    docs rendered as glyph rasters (PNG and baseline-JPEG images, plus
+    scanned PDFs with no text layer), scanned back through binaryFile →
+    format routing → the OCR fallback/image paths with the in-sandbox
+    template-matching transport (sources/glyph_ocr.py), word-confidence
+    gates active. The oracle states the recognized text in closed form
+    (the glyph font is uppercase-fold, hence upper()); a canned-string
+    stub cannot match it, and the JPEG rows prove recognition survives a
+    real lossy encode. Ref: pdf_extractor.py:56-97 (fallback threshold +
+    OCR), image_extractor.py:16-87 (image OCR),
+    azure_ocr_extractor.py:22-39."""
     from restaurant_etl_spark.sources.binary import (
         extract_binary_text,
         read_binary_dir,
@@ -370,7 +380,7 @@ def menu_ocr_scanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_menu_scans(spark, sf_dir)
     raw = with_format(read_binary_dir(spark, stage))
     extracted = extract_binary_text(raw, ocr_transport=template_ocr_transport)
-    doc_id = F.regexp_extract("path", r"([0-9]+)\.(?:png|pdf)$", 1).cast("bigint")
+    doc_id = F.regexp_extract("path", r"([0-9]+)\.(?:png|jpg|pdf)$", 1).cast("bigint")
     return extracted.select(
         doc_id.alias("doc_id"), "text", "extraction_method", "success"
     )
