@@ -45,6 +45,8 @@ def sniff(content: bytes) -> str | None:
         return "ppm"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -497,6 +499,106 @@ def decode_image(content: bytes) -> np.ndarray:
     if kind == "ppm":
         return decode_ppm(content)
     raise ValueError("no stdlib decoder for this image format")
+
+
+# ------------------------------------------------------------------ MP4 ----
+#
+# Frame DECODE needs libav and stays stubbed; the CONTAINER is pure box
+# structure ([size:4][type:4] nesting) and parses in stdlib. This is the
+# real shape of video handling in a 100 TB pipeline anyway: metadata
+# (duration, geometry, track layout) drives partitioning/filtering at scan
+# time, and pixel decode happens only inside the sampled-frame UDF.
+
+
+def parse_mp4_meta(content: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) metadata: walk the box tree to mvhd (movie
+    timescale + duration), count traks, and pull presentation width/height
+    from the first video tkhd (16.16 fixed point). Raises on non-MP4 or
+    missing moov so callers fall back to column metadata."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container")
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", content, pos)
+            btype = content[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", content, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > hi:
+                raise ValueError("corrupt MP4 box")
+            yield btype, body, pos + size
+            pos += size
+
+    meta = {"duration_ms": None, "n_tracks": 0, "width": None, "height": None}
+    moov = None
+    for btype, body, end in boxes(0, len(content)):
+        if btype == b"moov":
+            moov = (body, end)
+            break
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    for btype, body, end in boxes(*moov):
+        if btype == b"mvhd":
+            version = content[body]
+            if version == 1:
+                timescale, duration = struct.unpack_from(">IQ", content, body + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", content, body + 12)
+            if timescale:
+                meta["duration_ms"] = int(round(1000 * duration / timescale))
+        elif btype == b"trak":
+            meta["n_tracks"] += 1
+            for t2, b2, e2 in boxes(body, end):
+                if t2 == b"tkhd" and meta["width"] is None:
+                    version = content[b2]
+                    # version/flags(4) + times/track/duration (32 v0, 44
+                    # v1) + reserved(8) + layer/alt/volume/reserved(8) +
+                    # matrix(36) → width at 76 (v0) / 88 (v1)
+                    geo_at = b2 + (88 if version == 1 else 76)
+                    w_fp, h_fp = struct.unpack_from(">II", content, geo_at)
+                    if w_fp and h_fp:
+                        meta["width"] = w_fp >> 16
+                        meta["height"] = h_fp >> 16
+    return meta
+
+
+def make_mp4(
+    duration_ms: int, width: int = 0, height: int = 0, n_tracks: int = 1
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov[mvhd + n×trak[tkhd]]),
+    the fixture counterpart of parse_mp4_meta — no media data, exactly
+    like a metadata probe sees after reading the first megabyte."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", timescale, duration_ms)
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10 + b"\x00" * 36
+        + b"\x00" * 24 + struct.pack(">I", n_tracks + 1),
+    )
+    traks = b""
+    for i in range(n_tracks):
+        tkhd_body = (
+            b"\x00\x00\x00\x07" + b"\x00" * 8
+            + struct.pack(">I", i + 1) + b"\x00" * 4
+            + struct.pack(">I", duration_ms) + b"\x00" * 8
+            + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">II", (width if i == 0 else 0) << 16,
+                          (height if i == 0 else 0) << 16)
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd_body))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + traks)
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:

@@ -135,6 +135,45 @@ def image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+CONTAINER_SCHEMA = (
+    "media_id bigint, container string, duration_ms int, n_tracks int, "
+    "vid_w int, vid_h int"
+)
+
+
+def container_stats(media: DataFrame) -> DataFrame:
+    """REAL container-metadata extraction for video rows: parse the
+    ISO-BMFF box tree (sources/media_codecs.py:parse_mp4_meta) for
+    duration, track count, and presentation geometry. This is the piece
+    of video handling that needs no codec — and the piece a 100 TB
+    pipeline runs at scan time to drive partitioning and filtering, long
+    before any frame is decoded. Non-BMFF payloads yield null metadata
+    (per-item isolation)."""
+    from restaurant_etl_spark.sources.media_codecs import parse_mp4_meta
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    m = parse_mp4_meta(bytes(content))
+                    rows.append(
+                        (mid, "mp4", m["duration_ms"], m["n_tracks"],
+                         m["width"], m["height"])
+                    )
+                except Exception:  # noqa: BLE001 - per-item isolation
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "duration_ms", "n_tracks",
+                         "vid_w", "vid_h"],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _stats, CONTAINER_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Thumbnailing: content → smaller binary (STUB: truncated byte stream
     standing in for a real resampled encode). Keeps the binary-in/binary-out

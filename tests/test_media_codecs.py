@@ -308,3 +308,43 @@ def test_gif_features_through_spark(spark):
     )
     feats = extract_features(media).collect()[0]["features"]
     assert feats[-1] == 1.0 and sum(feats[:-1]) == 0.0
+
+
+# ---------------------------------------------------------------- MP4 ----
+
+def test_mp4_metadata_roundtrip():
+    from restaurant_etl_spark.sources.media_codecs import make_mp4, parse_mp4_meta
+
+    m = parse_mp4_meta(make_mp4(123456, 1920, 1080, 3))
+    assert m == {"duration_ms": 123456, "n_tracks": 3, "width": 1920, "height": 1080}
+    m = parse_mp4_meta(make_mp4(500))
+    assert m["duration_ms"] == 500 and m["n_tracks"] == 1 and m["width"] is None
+    assert sniff(make_mp4(1)) == "mp4"
+
+
+def test_mp4_rejects_non_bmff():
+    import pytest as _pytest
+
+    from restaurant_etl_spark.sources.media_codecs import parse_mp4_meta
+
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x08freeXXXX")
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(b"")
+
+
+def test_container_stats_through_spark(spark):
+    from restaurant_etl_spark.sources.media_codecs import make_mp4
+    from restaurant_etl_spark.sources.multimodal import MEDIA_SCHEMA, container_stats
+
+    rows = [
+        (1, "video", make_mp4(9000, 640, 480, 2), (640, 480, 9000, "mp4")),
+        (2, "video", b"not a container at all", (None, None, 0, "raw")),
+        (3, "image", make_mp4(1, 1, 1, 1), (1, 1, 1, "mp4")),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in container_stats(media).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["duration_ms"] == 9000 and got[1]["vid_w"] == 640
+    assert got[1]["n_tracks"] == 2
+    assert got[2]["container"] is None  # per-item isolation, null row
