@@ -128,3 +128,46 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH src AS (
+        SELECT range AS doc_id,
+               CASE range % 4 WHEN 0 THEN 'Appetizers' WHEN 1 THEN 'Mains'
+                    WHEN 2 THEN 'Desserts' ELSE 'Drinks' END AS category,
+               CAST(range % 500 AS DOUBLE) + (range % 4) * 0.25 AS price
+        FROM range(0, 1000)
+    )
+    SELECT category,
+           count(*) AS n_docs,
+           round(sum(price), 2) AS total_price,
+           min(doc_id) AS first_doc
+    FROM src WHERE doc_id >= 200 AND doc_id < 900
+    GROUP BY category
+    """,
+    category="sources",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API end-to-end (sources/pyds.py): a
+    custom DataSource with executor-side generation, partition planning,
+    and doc_id range pushdown — the doc_id >= 200 / < 900 predicates are
+    absorbed by pushFilters into the partition plan, so pruned ranges are
+    never generated (tests/test_pyds.py asserts the partition count
+    drops). The oracle replays the closed-form corpus from range().
+    Prices step in exact quarters, so the float sum is binary-exact on
+    both engines."""
+    from restaurant_etl_spark.sources.pyds import register_once
+
+    register_once(spark)
+    df = spark.read.format("menu_corpus").option("n_docs", "1000").load()
+    return (
+        df.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 900))
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
