@@ -601,6 +601,68 @@ def make_mp4(
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + traks)
 
 
+# ------------------------------------------------------------------ MP3 ----
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def parse_mp3_meta(content: bytes) -> dict:
+    """MPEG-1 Layer III frame-header metadata: bitrate, sample rate,
+    channel mode, and a duration estimate (stream bytes / byte rate — the
+    CBR estimate every tag-less player uses). Sample DECODE needs a
+    codec and stays stubbed; the header math is pure bit-twiddling.
+    Accepts an optional leading ID3v2 tag."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit tag length
+        pos = 10 + (
+            (content[6] << 21) | (content[7] << 14) | (content[8] << 7) | content[9]
+        )
+    if pos + 4 > len(content):
+        raise ValueError("no MP3 frame header")
+    b0, b1, b2, _b3 = content[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("no MP3 frame sync")
+    version = (b1 >> 3) & 0x3  # 3 = MPEG-1
+    layer = (b1 >> 1) & 0x3  # 1 = Layer III
+    if version != 3 or layer != 1:
+        raise ValueError("only MPEG-1 Layer III supported")
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        raise ValueError("free-form/invalid MP3 header")
+    bitrate_kbps = _MP3_BITRATES_V1L3[bitrate_idx]
+    sample_rate = _MP3_RATES_V1[rate_idx]
+    mode = (content[pos + 3] >> 6) & 0x3
+    stream_bytes = len(content) - pos
+    duration_ms = int(round(stream_bytes * 8 / bitrate_kbps))  # kbit/s → ms
+    return {
+        "bitrate_kbps": bitrate_kbps,
+        "sample_rate": sample_rate,
+        "channels": 1 if mode == 3 else 2,
+        "duration_ms": duration_ms,
+    }
+
+
+def make_mp3(duration_ms: int, bitrate_kbps: int = 128, mono: bool = False) -> bytes:
+    """A CBR MPEG-1 Layer III stream skeleton: valid frame headers +
+    zeroed payloads sized so parse_mp3_meta's CBR estimate recovers
+    ``duration_ms`` exactly — the fixture counterpart of the parser."""
+    idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    hdr = bytes(
+        [0xFF, 0xFB, (idx << 4) | (0 << 2), 0xC0 if mono else 0x00]
+    )  # 44100 Hz, no padding
+    frame_len = 144 * bitrate_kbps * 1000 // 44100  # bytes per frame
+    total_bytes = duration_ms * bitrate_kbps // 8  # ms × kbit/s / 8
+    n_frames = max(1, total_bytes // frame_len)
+    out = bytearray()
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (frame_len - 4)
+    out += b"\x00" * (total_bytes - len(out))
+    return bytes(out)
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     """PCM WAV → (mono float32 samples in [-1, 1], sample_rate, duration_ms)
     via the stdlib ``wave`` module. 16-bit and 8-bit PCM supported."""

@@ -174,6 +174,52 @@ def container_stats(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_META_SCHEMA = (
+    "media_id bigint, container string, duration_ms int, bitrate_kbps int, "
+    "sample_rate int, channels int"
+)
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """REAL audio container metadata for audio rows: WAV via the stdlib
+    header (exact), MP3 via frame-header math (CBR estimate). Sample
+    decode stays real for WAV and stubbed for MP3 — metadata is the part
+    a pipeline needs at scan time. Unparseable payloads yield null rows
+    (per-item isolation)."""
+    from restaurant_etl_spark.sources.media_codecs import (
+        decode_wav,
+        parse_mp3_meta,
+        sniff,
+    )
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                try:
+                    if sniff(raw) == "wav":
+                        samples, rate, dur = decode_wav(raw)
+                        rows.append((mid, "wav", dur, None, rate, 1))
+                    else:
+                        m = parse_mp3_meta(raw)
+                        rows.append(
+                            (mid, "mp3", m["duration_ms"], m["bitrate_kbps"],
+                             m["sample_rate"], m["channels"])
+                        )
+                except Exception:  # noqa: BLE001 - per-item isolation
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "duration_ms",
+                         "bitrate_kbps", "sample_rate", "channels"],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _meta, AUDIO_META_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Thumbnailing: content → smaller binary (STUB: truncated byte stream
     standing in for a real resampled encode). Keeps the binary-in/binary-out

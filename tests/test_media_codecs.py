@@ -348,3 +348,44 @@ def test_container_stats_through_spark(spark):
     assert got[1]["duration_ms"] == 9000 and got[1]["vid_w"] == 640
     assert got[1]["n_tracks"] == 2
     assert got[2]["container"] is None  # per-item isolation, null row
+
+
+# ---------------------------------------------------------------- MP3 ----
+
+def test_mp3_metadata_roundtrip():
+    from restaurant_etl_spark.sources.media_codecs import make_mp3, parse_mp3_meta
+
+    for dur, br, mono in [(5000, 128, False), (123, 320, True), (60000, 64, False)]:
+        m = parse_mp3_meta(make_mp3(dur, br, mono))
+        assert m["bitrate_kbps"] == br and m["duration_ms"] == dur
+        assert m["channels"] == (1 if mono else 2) and m["sample_rate"] == 44100
+
+
+def test_mp3_skips_id3_tag_and_rejects_garbage():
+    import pytest as _pytest
+
+    from restaurant_etl_spark.sources.media_codecs import make_mp3, parse_mp3_meta
+
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + make_mp3(777)
+    assert parse_mp3_meta(tagged)["duration_ms"] == 777
+    with _pytest.raises(ValueError):
+        parse_mp3_meta(b"\x12\x34 not audio")
+
+
+def test_audio_meta_through_spark(spark):
+    from restaurant_etl_spark.sources.media_codecs import make_mp3
+    from restaurant_etl_spark.sources.multimodal import audio_meta
+
+    wav = make_wav(np.zeros(8000))  # 1 s @ 8 kHz
+    rows = [
+        (1, "audio", wav, (None, None, 1000, "wav")),
+        (2, "audio", make_mp3(2500, 192), (None, None, 2500, "mp3")),
+        (3, "audio", b"static noise", (None, None, 0, "raw")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_meta(media).collect()}
+    assert got[1]["container"] == "wav" and got[1]["duration_ms"] == 1000
+    assert got[1]["sample_rate"] == 8000
+    assert got[2]["container"] == "mp3" and got[2]["duration_ms"] == 2500
+    assert got[2]["bitrate_kbps"] == 192
+    assert got[3]["container"] is None  # per-item isolation
