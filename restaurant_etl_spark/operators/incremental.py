@@ -93,7 +93,10 @@ def run_incremental_menu(
         raw = with_format(
             spark.read.format("binaryFile").load([r["path"] for r in todo])
         )
-        all_extracted = extract_binary_text(raw)
+        # persisted: both the items write and the failed-path collect read
+        # this, and re-deriving it re-runs the whole Python extraction pass
+        # (and, deployed, every OCR call) over the delta
+        all_extracted = extract_binary_text(raw).persist()
         extracted = all_extracted.filter(F.col("success"))
         docs = extracted.select(
             F.regexp_extract("path", r"([0-9]+)\.txt$", 1).cast("bigint").alias("doc_id"),
@@ -125,6 +128,7 @@ def run_incremental_menu(
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
             os.path.join(state_dir, "manifest")
         )
+        all_extracted.unpersist()
 
     return {
         "run_id": run_id,

@@ -285,15 +285,18 @@ EXACT_BASELINE_MAX_ROWS = 200_000
 
 
 def _guard_exact_baseline(df: DataFrame, name: str) -> None:
-    """Refuse to run a quadratic exact baseline above the documented cap —
-    one metadata-cheap count against n²-blowup protection."""
-    n = df.count()
-    if n > EXACT_BASELINE_MAX_ROWS:
+    """Refuse to run a quadratic exact baseline above the documented cap.
+    The count is bounded by limit(cap+1) so the guard itself never scans
+    more than cap+1 rows — an unbounded count() would fully materialize
+    the very input the guard exists to protect against."""
+    cap = EXACT_BASELINE_MAX_ROWS
+    n = df.limit(cap + 1).count()
+    if n > cap:
         raise ValueError(
             f"{name} is an exact all-pairs O(n^2) baseline capped at "
-            f"{EXACT_BASELINE_MAX_ROWS} rows (got {n}). Use the linear "
-            f"LSH-bucketed production sibling (dedup_embedding_keep / "
-            f"the ANN variants) at this scale."
+            f"{cap} rows (input exceeds it). Use the linear LSH-bucketed "
+            f"production sibling (dedup_embedding_keep / the ANN variants) "
+            f"at this scale."
         )
 
 

@@ -218,6 +218,7 @@ def make_scanned_pdf(px: np.ndarray) -> bytes:
     text extraction finds no BT/ET operators → 0 chars < 60)."""
     h, w = px.shape
     img_data = zlib.compress(px.astype(np.uint8).tobytes())
+    contents = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -225,7 +226,8 @@ def make_scanned_pdf(px: np.ndarray) -> bytes:
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >>"
         ),
-        b"<< /Length 44 >>\nstream\nq 612 0 0 792 0 0 cm /Im0 Do Q\nendstream",
+        b"<< /Length " + str(len(contents)).encode() + b" >>\nstream\n"
+        + contents + b"\nendstream",
         (
             b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
             + b" /Height " + str(h).encode()

@@ -219,6 +219,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        # spec B.2.3: a single-component scan is NON-interleaved — one 8×8
+        # block per MCU regardless of the component's declared sampling
+        # factors (grayscale files converted from 4:2:0 color commonly
+        # keep 2×2 factors on their lone component)
+        comps = [{**comps[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -655,7 +655,15 @@ def make_mp3(duration_ms: int, bitrate_kbps: int = 128, mono: bool = False) -> b
     )  # 44100 Hz, no padding
     frame_len = 144 * bitrate_kbps * 1000 // 44100  # bytes per frame
     total_bytes = duration_ms * bitrate_kbps // 8  # ms × kbit/s / 8
-    n_frames = max(1, total_bytes // frame_len)
+    if total_bytes < frame_len:
+        # shorter than one frame: the stream would still be frame_len bytes
+        # and the round-trip estimate would silently disagree — refuse
+        # instead of breaking the documented exactness contract
+        raise ValueError(
+            f"duration_ms={duration_ms} is shorter than one frame "
+            f"({frame_len * 8 // bitrate_kbps} ms at {bitrate_kbps} kbps)"
+        )
+    n_frames = total_bytes // frame_len
     out = bytearray()
     for _ in range(n_frames):
         out += hdr + b"\x00" * (frame_len - 4)

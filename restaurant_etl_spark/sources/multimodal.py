@@ -186,11 +186,10 @@ def audio_meta(media: DataFrame) -> DataFrame:
     decode stays real for WAV and stubbed for MP3 — metadata is the part
     a pipeline needs at scan time. Unparseable payloads yield null rows
     (per-item isolation)."""
-    from restaurant_etl_spark.sources.media_codecs import (
-        decode_wav,
-        parse_mp3_meta,
-        sniff,
-    )
+    import io
+    import wave
+
+    from restaurant_etl_spark.sources.media_codecs import parse_mp3_meta, sniff
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,8 +198,19 @@ def audio_meta(media: DataFrame) -> DataFrame:
                 raw = bytes(content)
                 try:
                     if sniff(raw) == "wav":
-                        samples, rate, dur = decode_wav(raw)
-                        rows.append((mid, "wav", dur, None, rate, 1))
+                        # header-only read: metadata must not decode samples,
+                        # and must report the SOURCE channel count (decode_wav
+                        # downmixes to mono — using it here misreported stereo)
+                        with wave.open(io.BytesIO(raw), "rb") as wf:
+                            rate = wf.getframerate()
+                            dur = (
+                                int(round(1000 * wf.getnframes() / rate))
+                                if rate
+                                else 0
+                            )
+                            rows.append(
+                                (mid, "wav", dur, None, rate, wf.getnchannels())
+                            )
                     else:
                         m = parse_mp3_meta(raw)
                         rows.append(

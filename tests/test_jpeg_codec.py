@@ -90,3 +90,20 @@ def test_jpeg_resize_produces_decodable_thumbnail(spark):
     small = decode_ppm(bytes(thumb["thumb"]))
     assert small.shape == (64, 48, 3)
     assert np.abs(small[0, 0].astype(int) - np.array([40, 90, 200])).max() <= 3
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """Spec B.2.3: a single-component scan is non-interleaved — one 8x8
+    block per MCU even when the component declares 2x2 sampling (common in
+    grayscale files converted from 4:2:0). A decoder that honors the
+    factors produces scrambled pixels silently."""
+    px = (np.arange(16 * 32) % 241).astype(np.uint8).reshape(16, 32)
+    blob = bytearray(encode_jpeg(px))
+    sof_at = blob.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, hv, tq]
+    hv_at = sof_at + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert blob[hv_at] == 0x11
+    blob[hv_at] = 0x22  # declare 2x2 sampling on the lone component
+    out = decode_jpeg(bytes(blob))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1

@@ -389,3 +389,31 @@ def test_audio_meta_through_spark(spark):
     assert got[2]["container"] == "mp3" and got[2]["duration_ms"] == 2500
     assert got[2]["bitrate_kbps"] == 192
     assert got[3]["container"] is None  # per-item isolation
+
+
+def test_audio_meta_reports_source_channels_for_stereo_wav(spark):
+    import io as _io
+    import wave as _wave
+
+    from restaurant_etl_spark.sources.multimodal import audio_meta
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(b"\x00\x00" * 2 * 4000)  # 0.5 s stereo
+    media = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), (None, None, 500, "wav"))], MEDIA_SCHEMA
+    )
+    row = audio_meta(media).collect()[0]
+    assert row["channels"] == 2 and row["duration_ms"] == 500
+
+
+def test_mp3_sub_frame_duration_refused():
+    import pytest as _pytest
+
+    from restaurant_etl_spark.sources.media_codecs import make_mp3
+
+    with _pytest.raises(ValueError, match="shorter than one frame"):
+        make_mp3(20, 128)

@@ -197,3 +197,21 @@ def test_glyph_ocr_pdf_fallback_threshold_still_respects_text_layer(spark, tmp_p
         ocr_transport=exploding_transport,
     ).collect()[0]
     assert row["extraction_method"] == "pdf_native_text" and row["success"]
+
+
+def test_scanned_pdf_declares_correct_stream_length():
+    """The /Length of every stream must match its actual byte count — a
+    conforming parser seeks by /Length and would read past the stream."""
+    import re
+
+    import numpy as np
+
+    from restaurant_etl_spark.sources.glyph_ocr import make_scanned_pdf
+
+    pdf = make_scanned_pdf(np.full((10, 10), 200, dtype=np.uint8))
+    for m in re.finditer(rb"/Length (\d+) >>\s*stream\r?\n", pdf):
+        declared = int(m.group(1))
+        start = m.end()
+        end = pdf.index(b"endstream", start)
+        actual = len(pdf[start:end].rstrip(b"\r\n"))
+        assert declared == actual, (declared, actual)
