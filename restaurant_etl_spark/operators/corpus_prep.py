@@ -1,0 +1,240 @@
+"""Training-corpus preparation operators: sequence packing, repetition
+filtering, PII scrubbing — the standard LLM-data-pipeline steps between
+raw documents and training shards (the reference stops at record
+extraction; these are the mandated §2B extensions on top).
+
+Scale shapes:
+  * pack:   cumulative-sum windows PARTITIONED BY a shard key (never one
+            global window — a single-partition window is the classic
+            driver-shaped bottleneck at 100 TB); bins never cross shards,
+            matching how packed shards are written per output file;
+  * repeat: entirely per-row scalar arithmetic on the shingle arrays —
+            no explode, no shuffle, whole-stage codegen end-to-end;
+  * pii:    regexp_replace chains, one map pass; counts derive from
+            length deltas so the scan stays single.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+#: tokens per packed training sequence (toy scale for the fixture corpus;
+#: a production run uses the model context length)
+PACK_BUDGET = 512
+
+#: Gopher-style repetition gate: fraction of duplicate 3-grams above which
+#: a document is dropped
+REPETITION_MAX = 0.2
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+# ------------------------------------------------------------- packing ----
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents WHERE length(text) > 0
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS cum_before
+        FROM d
+    )
+    SELECT source,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, bin_id
+    """,
+    category="corpus",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    deterministic (shard, doc_id) order and cut into ~PACK_BUDGET-token
+    bins — bin = floor(cumulative_tokens_before / budget), the standard
+    scalable approximation of bin packing (greedy first-fit needs
+    sequential state; this is one window + one groupBy). The window
+    partitions by shard (``source``), never globally: per-shard packing
+    is both the scale shape AND how packed shards map to output files."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(
+        "doc_id", "source", F.size(_toks(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------- repetition ----
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS (
+        SELECT doc_id,
+               greatest(len(toks) - 2, 0) AS total_grams,
+               CASE WHEN len(toks) >= 3 THEN (
+                   SELECT count(DISTINCT s) FROM (
+                       SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                       FROM unnest(range(1, len(toks) - 1)) AS u(i)
+                   )
+               ) ELSE 0 END AS distinct_grams
+        FROM t
+    )
+    SELECT doc_id, total_grams, distinct_grams,
+           round(1.0 - distinct_grams * 1.0 / total_grams, 4) AS rep_ratio,
+           (1.0 - distinct_grams * 1.0 / total_grams) <= {REPETITION_MAX} AS keep
+    FROM g WHERE total_grams > 0
+    """,
+    category="corpus",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (the Gopher/C4 quality rule): the
+    fraction of duplicate 3-grams within each document, computed entirely
+    from per-row array sizes — size(grams) vs size(array_distinct(grams))
+    — so the whole operator is a narrow codegen'd map with NO explode and
+    NO shuffle. Boilerplate-heavy docs (rep_ratio > 0.2) are flagged
+    drop; docs shorter than one 3-gram are out of scope (no signal)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    g = t.select(
+        "doc_id",
+        F.size(grams).alias("total_grams"),
+        F.size(F.array_distinct(grams)).alias("distinct_grams"),
+    ).filter(F.col("total_grams") > 0)
+    ratio = 1.0 - F.col("distinct_grams") / F.col("total_grams")
+    return g.select(
+        "doc_id",
+        "total_grams",
+        "distinct_grams",
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio <= REPETITION_MAX).alias("keep"),
+    )
+
+
+# ----------------------------------------------------------------- PII ----
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE
+                 WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id ||
+                      '@example.com now'
+                 WHEN doc_id % 7 = 0 THEN ' call ' ||
+                      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE ''
+               END AS text
+        FROM documents WHERE length(text) > 0
+    ),
+    scrubbed AS (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_raw,
+           length(clean) AS n_chars_clean,
+           length(text) <> length(clean) AS redacted
+    FROM scrubbed
+    """,
+    category="corpus",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as one regexp_replace map pass: emails and
+    NNN-NNN-NNNN phone numbers are redacted to typed placeholders. The
+    synthetic corpus carries no PII, so deterministic PII is seeded into
+    a subset of docs first (doc_id-derived, replayed by the oracle) and
+    the scrub is verified by exact before/after char counts. One scan,
+    no shuffle; patterns are deliberately in the common subset of Java
+    and RE2 regex dialects so both engines replace identically."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(clean).alias("n_chars_clean"),
+        (F.length("text") != F.length(clean)).alias("redacted"),
+    )

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     # imports are side-effectful (decorators populate REGISTRY)
     from restaurant_etl_spark.operators import (  # noqa: F401
+        corpus_prep,
         dedup,
         embedding_prep,
         event_analytics,
