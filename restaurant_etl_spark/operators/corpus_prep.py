@@ -238,3 +238,110 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("n_chars_clean"),
         (F.length("text") != F.length(clean)).alias("redacted"),
     )
+
+
+# ------------------------------------------------------ BPE vocab step ----
+
+#: adjacent-pair vocabulary slots reported (the merge-candidate shortlist)
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> length(x) >= 2)) AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, i, 2))) AS pair
+        FROM w
+    )
+    SELECT pair, count(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    category="corpus",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE vocabulary training: corpus-wide frequencies
+    of adjacent symbol pairs (here: character bigrams inside lowercased
+    alphabetic words) — the counts that pick the next merge rule. Plan
+    shape: tokenize + per-word pair expansion are narrow codegen'd array
+    ops (transform over a sequence — no Python), the only shuffle is the
+    final pair count with map-side partial aggregation, and the top-30
+    shortlist compiles to TakeOrderedAndProject. At 100 TB the pair
+    alphabet is bounded (26² here, vocab² in general), so the final
+    aggregation state is tiny regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: F.length(x) >= 2,
+            )
+        ).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# ------------------------------------------------- length distribution ----
+
+
+@register(
+    "corpus_length_histogram",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           CAST(sum(CASE WHEN n_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_budget
+    FROM d GROUP BY len_bucket
+    """,
+    category="corpus",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution for packing/curriculum planning:
+    documents bucketed by floor(log2(tokens+1)) — the histogram that
+    sizes packing bins, flags over-budget docs that must be split, and
+    orders curriculum phases by length. One narrow map (token count is
+    per-row array arithmetic, no explode) into one tiny-cardinality
+    aggregation (≈ log2(max_len) groups at ANY corpus size) — the
+    degenerate-shuffle shape that is effectively free at 100 TB.
+    log2 hits exact IEEE values at bucket boundaries (powers of two), so
+    the bucketing is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(F.size(_toks(F.col("text"))).alias("n_tokens"))
+    return d.groupBy(
+        F.floor(F.log2(F.col("n_tokens") + 1)).alias("len_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum(
+            F.when(F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)
+        ).alias("n_over_budget"),
+    )

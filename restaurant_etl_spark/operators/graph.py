@@ -1,0 +1,121 @@
+"""Graph analytics over DataFrames: weighted PageRank on the co-purchase
+graph — the iterative-algorithm family (complements the Hash-Min
+connected components in operators/dedup.py).
+
+Scale shape: the graph is EDGES-AS-A-DATAFRAME, never adjacency in
+driver memory. Each power-iteration step is one shuffle join
+(edges ⋈ ranks on src) plus one key-partitioned aggregation on dst —
+the same plan GraphX/Pregel lowers to. The normalized edge list is
+materialized ONCE (localCheckpoint) because every iteration reuses it;
+rank frames stay lazy (the 3-step chain is one linear lineage, no
+re-computation fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+DAMPING = 0.85
+N_ITER = 3
+TOP_K = 20
+
+
+def _oracle_sql() -> str:
+    """Unrolled power iteration (r1..rN as chained CTEs) so DuckDB can
+    express the exact same fixed-iteration PageRank."""
+    prev = "r0"
+    iters = []
+    for it in range(1, N_ITER + 1):
+        iters.append(
+            f"""r{it} AS (
+        SELECT en.dst AS pk,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum({prev}.r * en.p) AS r
+        FROM en JOIN {prev} ON en.src = {prev}.pk
+        GROUP BY en.dst
+    )"""
+        )
+        prev = f"r{it}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS DOUBLE) AS w
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+        GROUP BY a.pk, b.pk
+    ),
+    deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+    en AS (SELECT e.src, e.dst, e.w / deg.outw AS p
+           FROM e JOIN deg ON e.src = deg.src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS pk, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    {chain}
+    SELECT pk AS l_partkey,
+           round({prev}.r * (SELECT n FROM nn), 4) AS rank_scaled
+    FROM {prev}
+    ORDER BY rank_scaled DESC, l_partkey
+    LIMIT {TOP_K}
+    """
+
+
+@register("graph_pagerank_parts", oracle=_oracle_sql(), category="graph")
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 power iterations) over the
+    part co-purchase graph: parts appearing in the same order are linked,
+    edge weight = number of co-occurring orders. The co-purchase self-join
+    fans out only within an order (order sizes are bounded — ≤7 lines in
+    TPC-H — so the blow-up is a constant factor, never quadratic in the
+    table). Because the graph is symmetric, every node has out-degree ≥ 1:
+    no dangling-mass correction term is needed.
+
+    Each iteration: contribs = edges ⋈ ranks (shuffle on src) → groupBy
+    dst (partial+final agg); rank' = (1-d)/N + d·contrib. The normalized
+    edge list is localCheckpointed once — it is the loop invariant every
+    iteration scans — while the rank chain stays lazy (linear lineage).
+    Reported as rank·N (≈1.0 for an average node), rounded 4 dp on both
+    sides, top-20 with the part key as tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # loop invariant: normalized transition edges, materialized once
+    en = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint()
+    )
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+
+    ranks = deg.select("src").crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("pk"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(N_ITER):
+        contribs = (
+            en.join(ranks, en.src == ranks.pk)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("contrib"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("pk"),
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(DAMPING) * F.col("contrib")
+            ).alias("r"),
+        )
+    scored = ranks.crossJoin(F.broadcast(nn)).select(
+        F.col("pk").alias("l_partkey"),
+        F.round(F.col("r") * F.col("n"), 4).alias("rank_scaled"),
+    )
+    return scored.orderBy(F.desc("rank_scaled"), "l_partkey").limit(TOP_K)

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         embedding_prep,
         event_analytics,
+        graph,
         incremental,
         io_formats,
         menu,
@@ -70,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_full,
         tpch_more,
         udf_surface,
+        warehouse,
         windows_aggs,
     )
 

@@ -1,0 +1,199 @@
+"""Warehouse maintenance operators: MERGE-style CDC apply and SCD Type 2
+history building — the mutation layer a lakehouse deployment of this
+engine needs around the read-side queries (the reference is read-only;
+these are §2B extension surface, like the incremental manifest layer in
+operators/incremental.py).
+
+Scale shapes:
+  * merge:  ONE full-outer shuffle join on the merge key — the canonical
+            CDC-apply plan. At 100 TB both sides are bucketed/partitioned
+            on the key so the join is co-located; nothing here collects
+            or widens beyond the change-set columns.
+  * scd2:   gaps-and-islands over per-key event streams — two window
+            passes that SHARE one (user_id, ts) sort/partitioning, then
+            one key-partitioned aggregation. No global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+#: deterministic change-set moduli (disjoint by construction: delete keys
+#: exclude update keys; insert keys are offset far past the base key range)
+UPDATE_MOD = 97
+DELETE_MOD = 89
+INSERT_MOD = 83
+INSERT_KEY_OFFSET = 1_000_000_000
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH updates AS (
+        SELECT o_orderkey, 'U' AS new_status,
+               round(o_totalprice * 1.10, 2) AS new_price
+        FROM orders WHERE o_orderkey % {UPDATE_MOD} = 0
+    ),
+    deletes AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % {DELETE_MOD} = 0 AND o_orderkey % {UPDATE_MOD} <> 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + {INSERT_KEY_OFFSET} AS o_orderkey,
+               'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+    ),
+    merged AS (
+        SELECT b.o_orderkey,
+               coalesce(u.new_status, b.o_orderstatus) AS o_orderstatus,
+               coalesce(u.new_price, b.o_totalprice) AS o_totalprice
+        FROM orders b
+        LEFT JOIN updates u USING (o_orderkey)
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM inserts
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    category="warehouse",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC-apply operator) as ONE full-outer
+    join: a deterministic change-set — updates (key % 97 = 0: status 'U',
+    price +10%), deletes (key % 89 = 0, minus update keys), inserts (key
+    % 83 = 0, re-keyed past the base range) — is applied to the orders
+    base in a single pass:
+
+        WHEN MATCHED AND op = 'delete' THEN DELETE
+        WHEN MATCHED AND op = 'update' THEN UPDATE SET status, price
+        WHEN NOT MATCHED            THEN INSERT
+
+    The plan is one shuffle of each side on the merge key (at 100 TB:
+    bucket both and the exchange disappears), then per-status counts to
+    make the upserted state verifiable. The oracle expresses the same
+    merge relationally (anti-delete + left-join-update + union-insert)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    updates = base.filter(k % UPDATE_MOD == 0).select(
+        k.alias("m_key"),
+        F.lit("update").alias("op"),
+        F.lit("U").alias("new_status"),
+        F.round(F.col("o_totalprice") * 1.10, 2).alias("new_price"),
+    )
+    deletes = base.filter((k % DELETE_MOD == 0) & (k % UPDATE_MOD != 0)).select(
+        k.alias("m_key"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    inserts = base.filter(k % INSERT_MOD == 0).select(
+        (k + INSERT_KEY_OFFSET).alias("m_key"),
+        F.lit("insert").alias("op"),
+        F.lit("N").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+
+    merged = (
+        base.join(changes, base.o_orderkey == changes.m_key, "full_outer")
+        # WHEN MATCHED AND delete → drop the row
+        .filter((F.col("op").isNull()) | (F.col("op") != "delete"))
+        .select(
+            F.coalesce("o_orderkey", "m_key").alias("o_orderkey"),
+            F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, island,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               count(*) AS n_events
+        FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to,
+           n_events
+    FROM g
+    """,
+    category="warehouse",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build as gaps-and-islands: each user's event
+    stream (ordered by ts with event_id as the unique tiebreak) is
+    collapsed into maximal runs of the same event_type, emitted as
+    [valid_from, valid_to) validity intervals — valid_to is the next
+    island's start, NULL for the current (open) row, exactly how a
+    slowly-changing dimension closes out superseded versions.
+
+    Plan shape: lag → change flag → running-sum island id are two window
+    functions over the SAME (user_id / ts, event_id) partitioning, so
+    Catalyst plans one sort + one exchange; the island aggregation and the
+    closing lead() reuse the user_id partitioning. Per-user streams are
+    independent — the whole history build scales with the number of keys,
+    never a global ordering."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+        "event_id",
+    )
+    i = o.withColumn(
+        "island",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = i.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        "n_events",
+    )
