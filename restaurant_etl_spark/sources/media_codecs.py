@@ -4,9 +4,11 @@ formats that need no external library are decoded for REAL — PNG
 scanline unfiltering), baseline JPEG (full Huffman + IDCT pipeline,
 sources/jpeg_codec.py), GIF (full LZW with code-width growth and
 deferred clears, first frame), uncompressed 24-bit BMP, binary PPM/PGM
-(P6/P5) images, and PCM WAV audio (stdlib ``wave``). Only genuinely
-codec-library-bound formats (MP3/video containers) still fall back to
-the deterministic stub in sources/multimodal.py.
+(P6/P5) images, PCM WAV audio (stdlib ``wave``), and MJPEG video in a
+RIFF AVI container (every frame an independent baseline JPEG, so video
+decode = RIFF traversal + the JPEG pipeline). Only genuinely
+codec-library-bound formats (MP3 samples, H.264-in-MP4 frames) still
+fall back to the deterministic stub in sources/multimodal.py.
 
 PNG matters most here: the reference routes ``.png`` as a first-class
 image input (universal_extractor.py:16-24), and its whole compression
@@ -692,3 +694,115 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
         samples = samples.reshape(-1, channels).mean(axis=1)
     duration_ms = int(round(1000 * n / rate)) if rate else 0
     return samples, rate, duration_ms
+
+
+# ------------------------------------------------------ AVI (RIFF/MJPEG) ----
+# Motion-JPEG in a RIFF AVI container: every frame is an independent
+# baseline JPEG, so the stdlib JPEG pipeline (sources/jpeg_codec.py)
+# turns "video decode" into container traversal + per-frame image decode.
+# Layout per the public Microsoft RIFF/AVI spec: RIFF('AVI ') →
+# LIST('hdrl': avih + LIST('strl': strh/strf)) → LIST('movi': '00dc'...).
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def make_avi_mjpeg(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Encode grayscale frames as a minimal-but-valid MJPEG AVI: each
+    frame goes through the real JPEG encoder (FDCT → quantize → Huffman)
+    into a '00dc' movi chunk; avih/strh/strf carry true geometry, frame
+    count and rate (dwScale=1, dwRate=fps)."""
+    from restaurant_etl_spark.sources.jpeg_codec import encode_jpeg
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [
+        encode_jpeg(f if f.ndim == 2 else f[:, :, 0]) for f in frames
+    ]
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0,
+        len(frames),       # dwTotalFrames
+        0,
+        1,                 # dwStreams
+        0,
+        w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<10I",
+            0, 0, 0,
+            1,             # dwScale
+            fps,           # dwRate
+            0,
+            len(frames),   # dwLength (in frames)
+            0,
+            0xFFFFFFFF,    # dwQuality (default)
+            0,
+        )
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24,
+        int.from_bytes(b"MJPG", "little"),
+        w * h * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", p) for p in payloads)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(content: bytes) -> dict:
+    """RIFF AVI container parse: geometry + frame rate from avih/strh,
+    every video frame payload ('..dc'/'..db' chunks) returned raw for the
+    per-frame image decoder. Word-aligned chunk traversal (odd sizes are
+    padded) per the RIFF spec; raises on non-AVI input."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI file")
+    meta: dict = {"usec_per_frame": 0, "n_frames": 0, "width": 0,
+                  "height": 0, "fps": 0}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload = buf[pos + 8 : pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(payload[4:])
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", payload[:56])
+                meta.update(
+                    usec_per_frame=vals[0], n_frames=vals[4],
+                    width=vals[8], height=vals[9],
+                )
+            elif fourcc == b"strh" and payload[:4] == b"vids":
+                scale, rate = struct.unpack("<II", payload[20:28])
+                meta["fps"] = rate // max(scale, 1)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload)
+            pos += 8 + size + (size % 2)
+
+    walk(content[12:])
+    meta["frames"] = frames
+    return meta

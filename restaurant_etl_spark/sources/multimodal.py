@@ -290,3 +290,45 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(_frames, FRAMES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id bigint, vid_w int, vid_h int, fps int, n_frames int, "
+    "mean_first double, mean_frames double"
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video frame decode for MJPEG/AVI rows: traverse the RIFF
+    container (sources/media_codecs.py:parse_avi), decode every '00dc'
+    frame through the full baseline-JPEG pipeline, and report geometry,
+    frame rate, frame count, and per-frame pixel means. This closes the
+    video-decode gap for the one video codec expressible in pure
+    stdlib+numpy — codec-bound containers (H.264-in-MP4) remain
+    metadata-only. Non-AVI payloads yield null rows (per-item isolation,
+    same contract as image_stats)."""
+    from restaurant_etl_spark.sources.jpeg_codec import decode_jpeg
+    from restaurant_etl_spark.sources.media_codecs import parse_avi
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    info = parse_avi(bytes(content))
+                    means = [float(decode_jpeg(p).mean()) for p in info["frames"]]
+                    rows.append(
+                        (mid, info["width"], info["height"], info["fps"],
+                         len(means), means[0], sum(means) / len(means))
+                    )
+                except Exception:  # noqa: BLE001 - per-item isolation
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "vid_w", "vid_h", "fps", "n_frames",
+                         "mean_first", "mean_frames"],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _stats, VIDEO_FRAMES_SCHEMA
+    )

@@ -417,3 +417,58 @@ def test_mp3_sub_frame_duration_refused():
 
     with _pytest.raises(ValueError, match="shorter than one frame"):
         make_mp3(20, 128)
+
+
+# ------------------------------------------------------------ AVI/MJPEG ----
+
+
+def test_avi_mjpeg_round_trip_exact():
+    """Flat grayscale frames survive make_avi_mjpeg → parse_avi →
+    decode_jpeg byte-exactly (DC-only blocks quantize losslessly)."""
+    import numpy as np
+
+    from restaurant_etl_spark.sources.jpeg_codec import decode_jpeg
+    from restaurant_etl_spark.sources.media_codecs import make_avi_mjpeg, parse_avi
+
+    frames = [np.full((4, 6), (17 + 40 * f) % 256, dtype=np.uint8) for f in range(3)]
+    avi = make_avi_mjpeg(frames, fps=7)
+    info = parse_avi(avi)
+    assert (info["width"], info["height"]) == (6, 4)
+    assert info["fps"] == 7
+    assert info["n_frames"] == 3 and len(info["frames"]) == 3
+    assert info["usec_per_frame"] == 1_000_000 // 7
+    for f, payload in zip(frames, info["frames"]):
+        decoded = decode_jpeg(payload)
+        assert decoded.shape == f.shape
+        assert (decoded == f).all()
+
+
+def test_avi_odd_sized_chunks_word_aligned():
+    """RIFF requires word alignment: odd-length JPEG payloads must be
+    padded in the container but returned unpadded by the parser."""
+    import numpy as np
+
+    from restaurant_etl_spark.sources.jpeg_codec import decode_jpeg
+    from restaurant_etl_spark.sources.media_codecs import make_avi_mjpeg, parse_avi
+
+    # sweep sizes until both parities of payload length are seen
+    seen = set()
+    for v in range(16):
+        frames = [np.full((3, 3), v * 16, dtype=np.uint8), np.full((3, 3), 7, dtype=np.uint8)]
+        info = parse_avi(make_avi_mjpeg(frames, fps=5))
+        assert len(info["frames"]) == 2
+        for f, p in zip(frames, info["frames"]):
+            seen.add(len(p) % 2)
+            assert (decode_jpeg(p) == f).all()
+    assert seen == {0, 1}
+
+
+def test_parse_avi_rejects_non_avi():
+    import pytest as _pytest
+
+    from restaurant_etl_spark.sources.media_codecs import parse_avi
+
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        parse_avi(b"\x00" * 4)
