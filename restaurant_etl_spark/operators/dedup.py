@@ -246,27 +246,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join — no quadratic all-pairs comparison, and no
     hot-shingle posting-list explosion (see _exact_jaccard_pairs for the
     equivalence bound)."""
-    return _exact_jaccard_pairs(shingle_table(_docs(spark, sf_dir)), JACCARD_THRESHOLD)
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    sh = sa.select("doc_id", F.explode("sharr").alias("shingle"))
+    return _exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sharr): each doc's distinct 3-token shingles as an ARRAY
+    column — the narrow (no-explode, no-shuffle) sibling of shingle_table
+    for per-doc signature computation. Docs too short for one shingle
+    (< 3 tokens) are dropped, matching the exploded table's semantics
+    (they produce zero rows there).
+
+    The short-doc gate is written as ``size(toks) >= 3`` — equivalent to
+    ``size(sharr) > 0`` since a doc has a shingle iff it has ≥ 3 tokens —
+    and NOT as a filter on ``sharr``: a post-hoc sharr filter gets
+    predicate-pushed below the fan_out Exchange into the single-task scan
+    stage with the whole shingle derivation (and its 4 tokenizer
+    references) inlined, serializing the operator's dominant cost onto
+    one core. The token-count predicate pushes down too, but inlines only
+    one cheap split per row; the shingle transform stays post-Exchange at
+    full width."""
+    t = docs.select("doc_id", _toks(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
+    )
+    return t.select("doc_id", F.array_distinct(shingles).alias("sharr"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig array<bigint>): per-doc one-permutation MinHash
     signature. Slot i = min over the doc's shingles of h60(shingle) where
     h60 % n_hashes == i (h60 = first 60 bits of one md5 per shingle);
     empty slots are densified by circular rotation with a per-step
-    DENSIFY_C offset. One groupBy on doc_id, one md5 per shingle, and the
-    whole computation stays inside whole-stage codegen."""
-    base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-    t = sh.withColumn("h60", base)
+    DENSIFY_C offset.
+
+    Computed entirely PER ROW over the shingle array — a narrow map with
+    NO shuffle (the r4 xor-salt family had this shape; the OPH rewrite
+    initially lost it to a groupBy over the exploded shingle table, which
+    re-shuffled the corpus-dominating intermediate and measured ~2x slower
+    at sf0.1)."""
+    return signatures_from_shingle_arrays(shingle_arrays(docs), n_hashes)
+
+
+def signatures_from_shingle_arrays(
+    t: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """OPH signatures from a prebuilt (doc_id, sharr) frame — callers that
+    consume the shingle arrays more than once (signature + verify + sizes)
+    build the frame once, localCheckpoint it, and share it. The ``hs``
+    array is materialized as its own projection so Catalyst keeps the
+    one-md5-per-shingle evaluation shared across the n_hashes slot
+    filters instead of inlining it n_hashes times."""
+    hs = F.transform(
+        F.col("sharr"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    t = t.select("doc_id", hs.alias("hs"))
     mins = [
-        F.min(F.when(F.col("h60") % n_hashes == i, F.col("h60"))).alias(f"m{i}")
+        F.array_min(F.filter(F.col("hs"), lambda h: h % n_hashes == i)).alias(f"m{i}")
         for i in range(n_hashes)
     ]
-    raw = t.groupBy("doc_id").agg(*mins)
+    raw = t.select("doc_id", *mins)
     dens = [
         F.coalesce(
             *[
@@ -323,13 +372,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-dups. Candidate verification touches candidates' shingles
     only (semi-join pushes the pair filter into the inverted index)."""
     docs = _docs(spark, sf_dir)
-    # the shingle table feeds four consumers (signatures, both verify sides,
-    # sizes). Deliberately NOT persisted: the re-derivation is a narrow
-    # full-width map off the columnar source, which measures cheaper than
-    # caching here — and at 100 TB a persisted shingle table is a ~100x
-    # inflated intermediate that would spill long before it paid off.
-    sh = shingle_table(docs)
-    sig = minhash_signatures(sh)
+    # the shingle derivation feeds four consumers (signatures, both verify
+    # sides, sizes). Materialize the per-doc ARRAY form once
+    # (localCheckpoint — the index-build step, same pattern as the IVF
+    # inverted file): the array frame is ~the corpus size (not the ~100x
+    # exploded table), every consumer then derives from it — explode for
+    # the verify joins, size() for n_shingles, per-row OPH for signatures
+    # — instead of re-running tokenize+shingle four times.
+    sa = shingle_arrays(docs).localCheckpoint()
+    sh = sa.select("doc_id", F.explode("sharr").alias("shingle"))
+    sig = signatures_from_shingle_arrays(sa)
 
     band_cols = [
         F.concat_ws(
@@ -363,7 +415,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # n_shingles is per-row array arithmetic off the materialized arrays —
+    # no aggregation over the exploded table needed
+    sizes = sa.select("doc_id", F.size("sharr").alias("n_shingles"))
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
@@ -585,7 +639,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side convergence test reads a single scalar per round. Near-dup
     graphs have tiny diameters (dup clusters are dense), so rounds ≈ 3-4."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = _exact_jaccard_pairs(shingle_table(_docs(spark, sf_dir)), JACCARD_THRESHOLD)
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    pairs = _exact_jaccard_pairs(
+        sa.select("doc_id", F.explode("sharr").alias("shingle")), JACCARD_THRESHOLD
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -700,8 +757,7 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id over its 3 band buckets. Same signature pipeline as the
     pair query, two key-partitioned aggregations, linear output — the form
     a 100 TB shingle-based dedup actually ships to the corpus filter."""
-    sh = shingle_table(_docs(spark, sf_dir))
-    sig = minhash_signatures(sh)
+    sig = minhash_signatures(_docs(spark, sf_dir))
     band_cols = [
         F.concat_ws(
             "|", *[F.element_at("sig", 3 * k + r + 1).cast("string") for r in range(BAND_ROWS)]
