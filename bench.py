@@ -19,6 +19,7 @@ not collect() overhead. Timings exclude session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -75,6 +76,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "stream_session_windows_batch",
     "stream_stream_interval_join_batch",
+    # warehouse / graph / corpus-prep families (round 5)
+    "merge_upsert_orders",
+    "graph_pagerank_parts",
+    "bpe_pair_counts",
 ]
 
 
@@ -135,6 +140,13 @@ def main() -> int:
                 "max": round(max(reps), 3),
                 "n": len(reps),
             }
+            # drop the query's DataFrame promptly: localCheckpointed RDDs
+            # and reusable shuffle stages stay pinned in the block manager
+            # until the Python wrapper is collected, and letting ~30
+            # queries' worth accumulate showed up as multi-second GC/evict
+            # outliers in LATER queries' steady reps
+            del df
+            gc.collect()
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             msg = (str(exc).splitlines() or [""])[0][:300]
             errors[name] = f"{type(exc).__name__}: {msg}"

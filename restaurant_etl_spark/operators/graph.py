@@ -89,7 +89,12 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg(F.count("*").cast("double").alias("w"))
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # the node table (out-degrees) feeds the edge normalization, the rank
+    # initialization, AND the N scalar (cross-joined once per iteration):
+    # materialize it once, node-sized — otherwise every consumer re-derives
+    # the co-purchase self-join from the lineitem scan (12 redundant file
+    # scans in the executed plan before this checkpoint)
+    deg = e.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint()
     # loop invariant: normalized transition edges, materialized once
     en = (
         e.join(deg, "src")

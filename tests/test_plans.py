@@ -167,3 +167,77 @@ def test_embedding_keep_has_no_all_pairs_join(spark, sf_dir):
     # q21 single-aggregation rewrite: no Expand (no multi-countDistinct blowup)
     plan21 = _plan(spark, sf_dir, "q21_waiting_suppliers")
     assert "Expand" not in plan21
+
+
+def test_shingle_arrays_keeps_heavy_map_off_scan_stage(spark, sf_dir):
+    """The short-doc gate on shingle_arrays must push down as the cheap
+    token-count predicate, NEVER as a predicate over the derived shingle
+    array: the array form gets inlined into the single-task scan stage
+    DataFilters with four tokenizer references, serializing the dedup
+    family's dominant map onto one core (caught as a 15x regression at
+    sf0.1)."""
+    from restaurant_etl_spark.operators.dedup import _docs, shingle_arrays
+
+    plan = (
+        shingle_arrays(_docs(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(l for l in plan.split("\n") if "FileScan parquet" in l)
+    assert "concat_ws" not in scan, "shingle derivation leaked into the scan stage"
+    # the shingle transform must appear exactly once in the whole plan
+    # (post-exchange projection), not re-derived per consumer reference
+    assert plan.count("concat_ws") == 1
+
+
+def test_pagerank_materializes_edge_list_once(spark, sf_dir):
+    """The PageRank loop invariant (normalized edges) must be scanned from
+    the localCheckpoint, not re-derived per iteration: the co-purchase
+    self-join may appear at most once in the executed plan."""
+    from restaurant_etl_spark.operators.graph import graph_pagerank_parts
+
+    plan = (
+        graph_pagerank_parts(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") >= 1 or "LocalTableScan" in plan
+    # the lineitem self-join inputs would show as repeated parquet scans
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_merge_upsert_single_join_on_merge_key(spark, sf_dir):
+    """MERGE compiles to ONE join of base vs change-set (full outer on the
+    merge key) — not one join per change type."""
+    from restaurant_etl_spark.operators.warehouse import merge_upsert_orders
+
+    plan = (
+        merge_upsert_orders(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+    assert "FullOuter" in plan
+
+
+def test_scd2_windows_share_one_sort(spark, sf_dir):
+    """The lag/running-sum windows and the island aggregation all key on
+    user_id: the plan must shuffle the events table exactly once."""
+    from restaurant_etl_spark.operators.warehouse import scd2_event_type_history
+
+    plan = (
+        scd2_event_type_history(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    shuffles = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(s.startswith("user_id") for s in shuffles), shuffles
+    assert len(shuffles) == 1, plan
