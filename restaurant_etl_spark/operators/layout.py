@@ -1,0 +1,174 @@
+"""Storage-layout and runtime-pruning operators: bloom-filter semi-join
+pruning and Z-order (Morton curve) clustering keys — the two techniques a
+100 TB deployment leans on to make scans cheap BEFORE any join runs.
+
+Both produce exactly the answer a plain plan produces (the bloom filter
+only ever over-approximates its build side; z-values are a deterministic
+bijection), so the DuckDB oracles state the un-pruned/plain result and
+the engine must match it bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.operators.registry import register
+from restaurant_etl_spark.sources.tables import load_table
+
+#: bloom sizing for the pruning filter: 2^17 bits / 2 hash functions keeps
+#: FPP < 1% for build sides up to ~10k keys (the filtered order set at
+#: sf0.1); at larger scale the constants grow with the build side, the
+#: plan shape does not
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 2
+
+#: bits interleaved per dimension in the Morton key (TPC-H part/supp keys
+#: fit in 16 bits up to sf ≈ 30; production uses 32/dim)
+Z_BITS = 16
+#: Morton-range bucket width: keys are grouped into 2^12-wide ranges
+Z_BUCKET_SHIFT = 12
+
+
+@register(
+    "bloom_prune_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    category="layout",
+)
+def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning ahead of an exact semi join — the
+    mechanism behind row-level runtime filtering at 100 TB: build a bloom
+    filter over the small filtered build side (urgent high-value orders'
+    custkeys), broadcast it, and drop probe rows whose key cannot match
+    BEFORE the shuffle; the surviving superset (bloom FPP admits false
+    positives, never false negatives) then goes through the exact semi
+    join, so the final answer is bit-identical to the plain plan — which
+    is exactly what the oracle states.
+
+    The filter itself is built with pure DataFrame ops (the SQL-level
+    ``bloom_filter_agg`` expression is internal to Spark's own
+    InjectRuntimeFilter rule and not on the function search path):
+
+      * per build key, BLOOM_HASHES bit positions via seeded xxhash64;
+      * positions → (word index, one-hot mask) and a ``bit_or`` hash
+        aggregation into ≤ BLOOM_BITS/64 bitmap words — partial+final,
+        the same two-phase shape as any sum;
+      * the word table collapses to ONE map<word,bits> row, broadcast;
+      * probes test their BLOOM_HASHES positions with O(1) map lookups
+        and bitwise AND — all codegen'd, no Python, no driver collect."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_custkey")
+
+    def pos_sql(key: str, j: int) -> str:
+        # the seed literal is part of the hashed tuple: identical SQL text
+        # on build and probe guarantees identical positions
+        return f"pmod(xxhash64({j}, {key}), {BLOOM_BITS})"
+
+    pos = build.select(
+        F.explode(
+            F.array(*[F.expr(pos_sql("o_custkey", j)) for j in range(BLOOM_HASHES)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("CAST(pos DIV 64 AS LONG) AS word"),
+            F.expr("shiftleft(CAST(1 AS LONG), CAST(pos % 64 AS INT)) AS mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bf = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
+    )
+
+    probe = cust.join(F.broadcast(bf))
+    hit_terms = []
+    for j in range(BLOOM_HASHES):
+        p = pos_sql("c_custkey", j)
+        w = f"element_at(bf, CAST(({p}) DIV 64 AS LONG))"
+        hit_terms.append(
+            f"({w} IS NOT NULL AND ({w} & shiftleft(CAST(1 AS LONG), "
+            f"CAST(({p}) % 64 AS INT))) <> 0)"
+        )
+    pruned = probe.filter(F.expr(" AND ".join(hit_terms))).drop("bf")
+
+    # exact semi join on the pruned (≈true-match-sized) probe side
+    hits = pruned.join(build, pruned.c_custkey == build.o_custkey, "left_semi")
+    return hits.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+def _interleave_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    """SQL expression interleaving the low ``bits`` bits of a (even
+    positions) and b (odd positions) into a Morton key — the same text is
+    valid Spark SQL and DuckDB SQL, so both engines evaluate the identical
+    arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_buckets",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_orderkey, l_linenumber,
+               {_interleave_sql('l_partkey % 65536', 'l_suppkey % 65536')} AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> {Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           min(zval) AS z_min,
+           max(zval) AS z_max
+    FROM z GROUP BY z_bucket
+    ORDER BY n_rows DESC, z_bucket
+    LIMIT 50
+    """,
+    category="layout",
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering keys over (part, supplier) — the
+    data-layout technique that makes BOTH ``WHERE l_partkey BETWEEN …``
+    and ``WHERE l_suppkey BETWEEN …`` prune well after a rewrite by
+    z-range: interleave the two keys' bits so nearby (part, supp) pairs
+    land in nearby file ranges, then report the occupancy of each
+    2^{Z_BUCKET_SHIFT}-wide z-range (what a table-maintenance job uses to
+    size clustered output files). The z-value is 32 narrow bit ops per
+    row — pure codegen'd arithmetic, identical text in both engines; the
+    only shuffle is the bounded-cardinality bucket aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            _interleave_sql("l_partkey % 65536", "l_suppkey % 65536")
+        ).alias("zval"),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", Z_BUCKET_SHIFT).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy(F.desc("n_rows"), "z_bucket")
+        .limit(50)
+    )

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         graph,
         incremental,
         io_formats,
+        layout,
         menu,
         multimodal_queries,
         profiling,
