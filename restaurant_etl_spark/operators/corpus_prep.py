@@ -345,3 +345,142 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)
         ).alias("n_over_budget"),
     )
+
+
+# -------------------------------------------------------- funnel report ----
+
+
+def _funnel_oracle() -> str:
+    from restaurant_etl_spark.operators.dedup import _registered_oracle
+    from restaurant_etl_spark.operators.text_analysis import _STOP_SQL
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               length(text) > 0 AS nonempty,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop,
+               regexp_matches(text, '[^\\x00-\\x7F]') AS non_ascii,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_hash
+        FROM t
+    ),
+    mh AS ({_registered_oracle("dedup_minhash_keep")}),
+    flags AS (
+        SELECT s.doc_id,
+               s.nonempty,
+               s.nonempty AND s.n_tokens >= 20
+                   AND s.n_stop / s.n_tokens BETWEEN 0.01 AND 0.6
+                   AND s.n_distinct / s.n_tokens >= 0.2 AS quality,
+               NOT s.non_ascii AND s.n_stop / s.n_tokens >= 0.05 AS english,
+               s.doc_id = min(s.doc_id) OVER (PARTITION BY s.vocab_hash) AS exact_kept,
+               coalesce(mh.is_kept, TRUE) AS near_kept
+        FROM s LEFT JOIN mh ON s.doc_id = mh.doc_id
+    ),
+    c AS (
+        SELECT count(*) AS n_raw,
+               sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN nonempty AND quality THEN 1 ELSE 0 END) AS n3,
+               sum(CASE WHEN nonempty AND quality AND english THEN 1 ELSE 0 END) AS n4,
+               sum(CASE WHEN nonempty AND quality AND english AND exact_kept
+                        THEN 1 ELSE 0 END) AS n5,
+               sum(CASE WHEN nonempty AND quality AND english AND exact_kept
+                        AND near_kept THEN 1 ELSE 0 END) AS n6
+        FROM flags
+    )
+    SELECT u.stage, CAST(u.n_docs AS BIGINT) AS n_docs,
+           round(u.n_docs * 1.0 / c.n_raw, 4) AS retained_pct
+    FROM c, (
+        SELECT '1_raw' AS stage, n_raw AS n_docs FROM c UNION ALL
+        SELECT '2_nonempty', n2 FROM c UNION ALL
+        SELECT '3_quality', n3 FROM c UNION ALL
+        SELECT '4_english', n4 FROM c UNION ALL
+        SELECT '5_exact_dedup', n5 FROM c UNION ALL
+        SELECT '6_near_dedup', n6 FROM c
+    ) u
+    """
+
+
+@register("corpus_funnel_report", oracle=_funnel_oracle(), category="corpus")
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition funnel of the composed cleaning pipeline — the
+    observability artifact a data-curation run publishes next to its
+    output: how many documents survive raw → nonempty → quality gate →
+    language gate → exact dedup → near dedup (cumulative, in pipeline
+    order). Composes the REGISTERED gate operators by doc_id joins, so
+    the funnel counts are by construction consistent with what
+    corpus_clean_keep actually keeps; docs outside the near-dup keep-list
+    (too short for a shingle) count as kept — absence of evidence is not
+    a duplicate. One wide scan + key joins + a single-row aggregate
+    unpivoted to 6 stage rows."""
+    from restaurant_etl_spark.operators.dedup import (
+        dedup_exact_documents,
+        dedup_minhash_keep,
+    )
+    from restaurant_etl_spark.operators.text_analysis import (
+        text_lang_id,
+        text_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") > 0).alias("nonempty")
+    )
+    q = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality_band") == "keep")
+        .select("doc_id", F.lit(True).alias("quality"))
+    )
+    en = (
+        text_lang_id(spark, sf_dir)
+        .filter(F.col("guessed_lang") == "en")
+        .select("doc_id", F.lit(True).alias("english"))
+    )
+    ex = dedup_exact_documents(spark, sf_dir).select(
+        "doc_id", F.col("is_kept").alias("exact_kept")
+    )
+    mh = dedup_minhash_keep(spark, sf_dir).select(
+        "doc_id", F.col("is_kept").alias("near_kept")
+    )
+    flags = (
+        docs.join(q, "doc_id", "left")
+        .join(en, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .join(mh, "doc_id", "left")
+        .select(
+            "nonempty",
+            (F.col("nonempty") & F.coalesce("quality", F.lit(False))).alias("s3"),
+            F.coalesce("english", F.lit(False)).alias("has_en"),
+            F.coalesce("exact_kept", F.lit(False)).alias("has_ex"),
+            F.coalesce("near_kept", F.lit(True)).alias("has_mh"),
+        )
+    )
+    c = flags.agg(
+        F.count("*").alias("n1"),
+        F.sum(F.when(F.col("nonempty"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(F.col("s3") & F.col("has_en"), 1).otherwise(0)).alias("n4"),
+        F.sum(
+            F.when(F.col("s3") & F.col("has_en") & F.col("has_ex"), 1).otherwise(0)
+        ).alias("n5"),
+        F.sum(
+            F.when(
+                F.col("s3") & F.col("has_en") & F.col("has_ex") & F.col("has_mh"), 1
+            ).otherwise(0)
+        ).alias("n6"),
+    )
+    stages = c.selectExpr(
+        "n1",
+        "stack(6, '1_raw', n1, '2_nonempty', n2, '3_quality', n3, "
+        "'4_english', n4, '5_exact_dedup', n5, '6_near_dedup', n6) "
+        "AS (stage, n_docs)"
+    )
+    return stages.select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n1"), 4).alias("retained_pct"),
+    )

@@ -172,3 +172,76 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "z_bucket")
         .limit(50)
     )
+
+
+#: synthetic file size for the zone-map simulation: rows land in "files"
+#: of 4096 consecutive order keys (matching how an ingest job writes
+#: roughly time-ordered row groups)
+ZONEMAP_FILE_KEYS = 4096
+
+#: the probe predicate whose skipping effectiveness the report measures
+ZONEMAP_LO = "1997-01-01"
+ZONEMAP_HI = "1997-03-31"
+
+
+@register(
+    "layout_zonemap_report",
+    oracle=f"""
+    WITH f AS (
+        SELECT l_orderkey // {ZONEMAP_FILE_KEYS} AS file_id,
+               count(*) AS n_rows,
+               min(l_shipdate) AS min_ship,
+               max(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY file_id
+    ),
+    m AS (
+        SELECT file_id, n_rows,
+               (max_ship < TIMESTAMP '{ZONEMAP_LO} 00:00:00'
+                OR min_ship > TIMESTAMP '{ZONEMAP_HI} 23:59:59') AS prunable
+        FROM f
+    )
+    SELECT count(*) AS n_files,
+           CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files_pruned,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           round(sum(CASE WHEN prunable THEN n_rows ELSE 0 END)
+                 * 1.0 / sum(n_rows), 4) AS skip_fraction
+    FROM m
+    """,
+    category="layout",
+)
+def layout_zonemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max statistics) skipping-effectiveness report:
+    rows are binned into synthetic ingest files (4096 consecutive order
+    keys ≈ one row group), each file's [min, max] l_shipdate zone is
+    computed, and the report states how many files — and what fraction of
+    rows — a Q1-'97 date predicate could skip WITHOUT reading them. This
+    is the artifact a table-maintenance job emits to decide whether data
+    needs re-clustering (compare: after a z-order/sort rewrite the skip
+    fraction approaches 1 - selectivity). One aggregation to build the
+    zone map (bounded by file count, not row count) + one tiny rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(
+        F.expr(f"l_orderkey DIV {ZONEMAP_FILE_KEYS}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    m = f.select(
+        "n_rows",
+        (
+            (F.col("max_ship") < F.lit(f"{ZONEMAP_LO} 00:00:00").cast("timestamp"))
+            | (F.col("min_ship") > F.lit(f"{ZONEMAP_HI} 23:59:59").cast("timestamp"))
+        ).alias("prunable"),
+    )
+    pruned_rows = F.sum(F.when(F.col("prunable"), F.col("n_rows")).otherwise(0))
+    return m.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(F.col("prunable"), 1).otherwise(0)).alias("n_files_pruned"),
+        F.sum("n_rows").alias("total_rows"),
+        pruned_rows.alias("rows_skipped"),
+        F.round(pruned_rows / F.sum("n_rows"), 4).alias("skip_fraction"),
+    )

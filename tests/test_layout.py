@@ -89,3 +89,35 @@ def test_zorder_is_injective_on_key_pairs(spark, sf_dir):
         "p", "s", F.expr(_interleave_sql("p", "s")).alias("z")
     )
     assert z.count() == z.select("z").distinct().count()
+
+
+def test_zonemap_report_is_consistent(spark, sf_dir):
+    from restaurant_etl_spark.operators.layout import (
+        ZONEMAP_FILE_KEYS,
+        layout_zonemap_report,
+    )
+
+    [r] = layout_zonemap_report(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_files = li.select(
+        F.expr(f"l_orderkey DIV {ZONEMAP_FILE_KEYS}").alias("f")
+    ).distinct().count()
+    assert r["n_files"] == n_files
+    assert 0 <= r["n_files_pruned"] <= r["n_files"]
+    assert r["total_rows"] == li.count()
+    assert 0 <= r["rows_skipped"] <= r["total_rows"]
+    assert abs(r["skip_fraction"] - r["rows_skipped"] / r["total_rows"]) < 1e-3
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    from restaurant_etl_spark.operators.corpus_prep import corpus_funnel_report
+    from restaurant_etl_spark.operators.text_analysis import corpus_clean_keep
+
+    rows = {r["stage"]: r for r in corpus_funnel_report(spark, sf_dir).collect()}
+    order = ["1_raw", "2_nonempty", "3_quality", "4_english",
+             "5_exact_dedup", "6_near_dedup"]
+    counts = [rows[s]["n_docs"] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert rows["1_raw"]["retained_pct"] == 1.0
+    # stage 5 of the funnel must equal what corpus_clean_keep actually keeps
+    assert rows["5_exact_dedup"]["n_docs"] == corpus_clean_keep(spark, sf_dir).count()
