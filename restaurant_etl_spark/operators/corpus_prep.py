@@ -377,7 +377,7 @@ def _funnel_oracle() -> str:
                s.nonempty AND s.n_tokens >= 20
                    AND s.n_stop / s.n_tokens BETWEEN 0.01 AND 0.6
                    AND s.n_distinct / s.n_tokens >= 0.2 AS quality,
-               NOT s.non_ascii AND s.n_stop / s.n_tokens >= 0.05 AS english,
+               NOT s.non_ascii AND round(s.n_stop / s.n_tokens, 4) >= 0.05 AS english,
                s.doc_id = min(s.doc_id) OVER (PARTITION BY s.vocab_hash) AS exact_kept,
                coalesce(mh.is_kept, TRUE) AS near_kept
         FROM s LEFT JOIN mh ON s.doc_id = mh.doc_id

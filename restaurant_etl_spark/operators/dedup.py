@@ -72,19 +72,16 @@ def _toks(text: Column) -> Column:
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct 3-token shingles per document. Narrow.
+    """(doc_id, shingle): distinct 3-token shingles per document, exploded.
+    Delegates to shingle_arrays so the 3-gram definition — the invariant
+    every dedup operator and the DuckDB _SHINGLE_SQL replica must agree
+    on — exists in exactly one place."""
+    return exploded_shingles(shingle_arrays(docs))
 
-    The token array is materialized as its own (multi-referenced) projection
-    so Catalyst keeps it a column instead of inlining the regex split into
-    every lambda reference — inlined, the split re-evaluates per shingle
-    (~100x the work per row)."""
-    t = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    shingles = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
-    )
-    return t.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+def exploded_shingles(sa: DataFrame) -> DataFrame:
+    """(doc_id, sharr) → exploded (doc_id, shingle) rows."""
+    return sa.select("doc_id", F.explode("sharr").alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -247,8 +244,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle posting-list explosion (see _exact_jaccard_pairs for the
     equivalence bound)."""
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
-    sh = sa.select("doc_id", F.explode("sharr").alias("shingle"))
-    return _exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
+    return _exact_jaccard_pairs(exploded_shingles(sa), JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -380,7 +376,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify joins, size() for n_shingles, per-row OPH for signatures
     # — instead of re-running tokenize+shingle four times.
     sa = shingle_arrays(docs).localCheckpoint()
-    sh = sa.select("doc_id", F.explode("sharr").alias("shingle"))
+    return _minhash_pairs(sa)
+
+
+def _minhash_pairs(sa: DataFrame) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verify from a prebuilt
+    (and typically localCheckpointed) shingle-array frame — shared by
+    dedup_minhash_lsh and the recall report (which materializes ONE frame
+    for both its pipelines instead of two identical eager checkpoints)."""
+    sh = exploded_shingles(sa)
     sig = signatures_from_shingle_arrays(sa)
 
     band_cols = [
@@ -640,9 +644,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs have tiny diameters (dup clusters are dense), so rounds ≈ 3-4."""
     docs = _docs(spark, sf_dir).select("doc_id")
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
-    pairs = _exact_jaccard_pairs(
-        sa.select("doc_id", F.explode("sharr").alias("shingle")), JACCARD_THRESHOLD
-    )
+    pairs = _exact_jaccard_pairs(exploded_shingles(sa), JACCARD_THRESHOLD)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -897,8 +899,11 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint samples of one permutation — densified OPH — so the s-curve
     is the textbook 1-(1-j³)³). Driver-visible: the banding quality claim
     is a measured artifact, not a docstring assertion."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    exact = _exact_jaccard_pairs(exploded_shingles(sa), JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    lsh = _minhash_pairs(sa).select("doc_a", "doc_b")
     hit = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact"))

@@ -20,6 +20,11 @@ from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
 DAMPING = 0.85
+#: teleport mass: stated as its own literal (not computed as 1 - DAMPING,
+#: whose float value 0.15000000000000002 differs from the 0.15 the oracle
+#: would parse); the assert keeps the pair in sync if either is tuned
+TELEPORT = 0.15
+assert abs(DAMPING + TELEPORT - 1.0) < 1e-12
 N_ITER = 3
 TOP_K = 20
 
@@ -33,7 +38,7 @@ def _oracle_sql() -> str:
         iters.append(
             f"""r{it} AS (
         SELECT en.dst AS pk,
-               0.15 / (SELECT n FROM nn) + 0.85 * sum({prev}.r * en.p) AS r
+               {TELEPORT} / (SELECT n FROM nn) + {DAMPING} * sum({prev}.r * en.p) AS r
         FROM en JOIN {prev} ON en.src = {prev}.pk
         GROUP BY en.dst
     )"""
@@ -84,16 +89,21 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     a, b = items.alias("a"), items.alias("b")
+    # the weighted edge list is the index-build step: materialize the
+    # co-purchase self-join exactly ONCE — deg and en both derive from it
+    # (without this, the two eager checkpoints below each re-ran the
+    # self-join from the lineitem scan)
     e = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
     )
     # the node table (out-degrees) feeds the edge normalization, the rank
     # initialization, AND the N scalar (cross-joined once per iteration):
     # materialize it once, node-sized — otherwise every consumer re-derives
-    # the co-purchase self-join from the lineitem scan (12 redundant file
-    # scans in the executed plan before this checkpoint)
+    # the aggregation (12 redundant scans in the executed plan before
+    # these checkpoints)
     deg = e.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint()
     # loop invariant: normalized transition edges, materialized once
     en = (
@@ -115,7 +125,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contribs.crossJoin(F.broadcast(nn)).select(
             F.col("dst").alias("pk"),
             (
-                F.lit(0.15) / F.col("n")
+                F.lit(TELEPORT) / F.col("n")
                 + F.lit(DAMPING) * F.col("contrib")
             ).alias("r"),
         )

@@ -16,10 +16,11 @@ from pyspark.sql import functions as F
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
-#: bloom sizing for the pruning filter: 2^17 bits / 2 hash functions keeps
-#: FPP < 1% for build sides up to ~10k keys (the filtered order set at
-#: sf0.1); at larger scale the constants grow with the build side, the
-#: plan shape does not
+#: bloom sizing for the pruning filter: with 2^17 bits and 2 hash
+#: functions, FPP = (1 - e^(-2n/m))² ≈ 2% at n = 10k build keys and < 1%
+#: below n ≈ 6k (the filtered order set at sf0.1 is well inside that); at
+#: larger scale the constants grow with the build side, the plan shape
+#: does not
 BLOOM_BITS = 1 << 17
 BLOOM_HASHES = 2
 

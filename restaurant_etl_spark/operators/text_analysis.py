@@ -372,7 +372,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(n_distinct / n_tokens, 4) AS type_token_ratio,
                n_tokens >= 20 AND n_stop / n_tokens BETWEEN 0.01 AND 0.6
                    AND n_distinct / n_tokens >= 0.2 AS quality_ok,
-               NOT non_ascii AND n_stop / n_tokens >= 0.05 AS is_en,
+               NOT non_ascii AND round(n_stop / n_tokens, 4) >= 0.05 AS is_en,
                doc_id = min(doc_id) OVER (PARTITION BY vocab_hash) AS is_kept
         FROM s
     )

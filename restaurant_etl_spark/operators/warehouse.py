@@ -24,11 +24,12 @@ from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
 #: deterministic change-set moduli (disjoint by construction: delete keys
-#: exclude update keys; insert keys are offset far past the base key range)
+#: exclude update keys; insert keys are the NEGATED source keys — disjoint
+#: from the strictly-positive base key space at ANY scale factor, unlike a
+#: fixed additive offset which TPC-H orderkeys overtake around sf 170)
 UPDATE_MOD = 97
 DELETE_MOD = 89
 INSERT_MOD = 83
-INSERT_KEY_OFFSET = 1_000_000_000
 
 
 @register(
@@ -44,7 +45,7 @@ INSERT_KEY_OFFSET = 1_000_000_000
         WHERE o_orderkey % {DELETE_MOD} = 0 AND o_orderkey % {UPDATE_MOD} <> 0
     ),
     inserts AS (
-        SELECT o_orderkey + {INSERT_KEY_OFFSET} AS o_orderkey,
+        SELECT -o_orderkey AS o_orderkey,
                'N' AS o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
     ),
@@ -69,7 +70,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (the CDC-apply operator) as ONE full-outer
     join: a deterministic change-set — updates (key % 97 = 0: status 'U',
     price +10%), deletes (key % 89 = 0, minus update keys), inserts (key
-    % 83 = 0, re-keyed past the base range) — is applied to the orders
+    % 83 = 0, re-keyed by negation out of the base key space) — is
+    applied to the orders
     base in a single pass:
 
         WHEN MATCHED AND op = 'delete' THEN DELETE
@@ -97,7 +99,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("new_price"),
     )
     inserts = base.filter(k % INSERT_MOD == 0).select(
-        (k + INSERT_KEY_OFFSET).alias("m_key"),
+        (-k).alias("m_key"),
         F.lit("insert").alias("op"),
         F.lit("N").alias("new_status"),
         F.col("o_totalprice").alias("new_price"),

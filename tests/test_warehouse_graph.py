@@ -120,7 +120,7 @@ def test_pagerank_mass_conserved(spark, sf_dir):
         )
         ranks = contribs.select(
             F.col("dst").alias("pk"),
-            (F.lit(0.15 / n) + F.lit(G.DAMPING) * F.col("contrib")).alias("r"),
+            (F.lit(G.TELEPORT / n) + F.lit(G.DAMPING) * F.col("contrib")).alias("r"),
         )
     total = ranks.agg(F.sum("r")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
