@@ -831,7 +831,12 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. The DF cap (MAX_SHINGLE_DF) keeps stop-shingle posting
     lists from exploding candidate pairs, same contract as
     dedup_ngram_jaccard. Output is linear in contaminated docs."""
-    sh = shingle_table(_docs(spark, sf_dir))
+    # the shingle rows feed three consumers (DF counts, bench side, train
+    # side): materialize the per-doc arrays once, like every other
+    # multi-consumer dedup pipeline — deriving them per-consumer re-ran
+    # the tokenizer in all four scan subtrees (0.6 s → 8 s at sf0.1)
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    sh = exploded_shingles(sa)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
