@@ -22,9 +22,12 @@ from restaurant_etl_spark.sources.tables import load_table
 DAMPING = 0.85
 #: teleport mass: stated as its own literal (not computed as 1 - DAMPING,
 #: whose float value 0.15000000000000002 differs from the 0.15 the oracle
-#: would parse); the assert keeps the pair in sync if either is tuned
+#: would parse); the check keeps the pair in sync if either is tuned.
+#: A hard raise, not ``assert`` — asserts are stripped under ``python -O``
+#: and this guard protects oracle/engine constant agreement.
 TELEPORT = 0.15
-assert abs(DAMPING + TELEPORT - 1.0) < 1e-12
+if abs(DAMPING + TELEPORT - 1.0) >= 1e-12:
+    raise ValueError(f"DAMPING + TELEPORT must equal 1.0, got {DAMPING + TELEPORT!r}")
 N_ITER = 3
 TOP_K = 20
 
@@ -83,7 +86,15 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is localCheckpointed once — it is the loop invariant every
     iteration scans — while the rank chain stays lazy (linear lineage).
     Reported as rank·N (≈1.0 for an average node), rounded 4 dp on both
-    sides, top-20 with the part key as tiebreak."""
+    sides, top-20 with the part key as tiebreak.
+
+    FP-sensitivity note (like the sketch queries): the 4-dp values come
+    from three iterations of order-dependent double summation in two
+    different engines, so a rank landing exactly on a rounding boundary
+    — or a near-tie at rank 20 — could in principle flip a row between
+    Spark and the oracle at some scale factor. Hash-matched at
+    sf0.001/0.01/0.1 today; treat a mismatch here as FP drift first,
+    logic bug second."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")

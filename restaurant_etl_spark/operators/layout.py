@@ -76,8 +76,12 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pos_sql(key: str, j: int) -> str:
         # the seed literal is part of the hashed tuple: identical SQL text
-        # on build and probe guarantees identical positions
-        return f"pmod(xxhash64({j}, {key}), {BLOOM_BITS})"
+        # on build and probe guarantees identical positions. The key is
+        # CAST to BIGINT because xxhash64 hashes int32 and int64 to
+        # DIFFERENT values — without the cast, a parquet schema drift
+        # between the two tables (one int, one bigint) would silently
+        # desynchronize build/probe bit positions and drop true matches.
+        return f"pmod(xxhash64({j}, CAST({key} AS BIGINT)), {BLOOM_BITS})"
 
     pos = build.select(
         F.explode(

@@ -798,7 +798,12 @@ def parse_avi(content: bytes) -> dict:
                 )
             elif fourcc == b"strh" and payload[:4] == b"vids":
                 scale, rate = struct.unpack("<II", payload[20:28])
-                meta["fps"] = rate // max(scale, 1)
+                # keep the exact rational; the int fps is ROUNDED, not
+                # floor-divided, so NTSC-style 30000/1001 reads 30, not 29
+                # (exact for this repo's own encoder, which writes scale=1)
+                meta["rate"] = rate
+                meta["scale"] = scale
+                meta["fps"] = int(round(rate / max(scale, 1)))
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(payload)
             pos += 8 + size + (size % 2)

@@ -472,3 +472,21 @@ def test_parse_avi_rejects_non_avi():
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError):
         parse_avi(b"\x00" * 4)
+
+
+def test_parse_avi_ntsc_rational_fps_rounds():
+    """A 30000/1001 (NTSC) strh rate must read as fps=30, not the
+    floor-divided 29 (ADVICE r5); the exact rational is kept in meta."""
+    import numpy as np
+
+    from restaurant_etl_spark.sources.media_codecs import make_avi_mjpeg, parse_avi
+
+    avi = bytearray(make_avi_mjpeg([np.full((3, 3), 9, dtype=np.uint8)], fps=25))
+    # patch dwScale/dwRate inside the strh payload (offsets 20/24 past 'vids')
+    i = bytes(avi).index(b"vids")
+    import struct as _s
+
+    avi[i + 20 : i + 28] = _s.pack("<II", 1001, 30000)
+    info = parse_avi(bytes(avi))
+    assert info["fps"] == 30
+    assert (info["scale"], info["rate"]) == (1001, 30000)

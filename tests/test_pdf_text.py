@@ -111,7 +111,7 @@ def test_quote_operators_start_new_lines():
 
 
 def test_non_octal_digit_escapes_drop_backslash():
-    """\8 and \9 are NOT octal starts: the PDF spec says an unknown escape
+    r"""\8 and \9 are NOT octal starts: the PDF spec says an unknown escape
     drops the backslash and keeps the character. A naive isdigit() gate
     collects zero octal digits and crashes on int(b'', 8) — this page must
     extract, not become a pdf_error row (ADVICE r4)."""
