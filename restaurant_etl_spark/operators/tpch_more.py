@@ -336,7 +336,10 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch (freqItems, single-pass Karp-style counting) —
     the 100 TB path for approximate top-k without a full groupBy; results
-    are sketch-dependent so rows-only. Array outputs are serialized to
+    are sketch-dependent so rows-only, but semantically bounded: the output
+    is a SUPERSET of every value whose true frequency exceeds support=0.1
+    (false positives allowed, false negatives never), enforced by
+    tests/test_sketch_bounds.py. Array outputs are serialized to
     sorted CSV strings — the driver's canonicalizer cannot hash lists."""
     o = _t(spark, sf_dir, "orders")
     fi = o.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)

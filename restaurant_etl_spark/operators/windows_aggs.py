@@ -186,7 +186,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_approx_distinct", oracle=None, category="relational")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — approximate, so rows-only check.
+    """approx_count_distinct (HyperLogLog++) — approximate, so rows-only check;
+    semantically bounded instead: |approx - exact| / exact <= 0.06 (3x the
+    configured rsd=0.02) per group, enforced by tests/test_sketch_bounds.py.
     At 100 TB this replaces exact COUNT(DISTINCT) where 2% error is fine:
     no expand, no second shuffle."""
     l = _t(spark, sf_dir, "lineitem")
