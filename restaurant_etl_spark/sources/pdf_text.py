@@ -37,7 +37,15 @@ _TOKEN_RE = re.compile(
     rb"|(?P<nl>T\*|-?[\d.]+\s+-?[\d.]+\s+T[dD])"
 )
 _ARR_STR_RE = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)")
-_BT_ET_RE = re.compile(rb"BT(?P<body>.*?)ET", re.S)
+#: block body treats well-formed literal strings as opaque units so an
+#: "ET" (or "BT") INSIDE a shown string can't terminate the block early —
+#: `BT (ET) Tj ET` must extract "ET", not "" (found by hypothesis, r6).
+#: The bare `\(` fallback keeps malformed strings (e.g. an escaped-away
+#: closing paren) from failing the whole block: they degrade to
+#: char-by-char scanning, the pre-fix behavior.
+_BT_ET_RE = re.compile(
+    rb"BT(?P<body>(?:\((?:\\.|[^\\()])*\)|\(|[^(])*?)ET", re.S
+)
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",

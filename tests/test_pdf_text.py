@@ -128,3 +128,12 @@ def test_trailing_backslash_does_not_crash():
     # actually extends — extractor must not raise either way
     out = extract_pdf_text(pdf, min_printable_ratio=0.0)
     assert "x\\" in out
+
+
+def test_operator_keywords_inside_literals_do_not_end_block():
+    """'ET' (or 'BT') inside a shown string must not terminate the BT/ET
+    block: the block matcher treats literal strings as opaque. Found by
+    hypothesis (test_properties.py) in r6."""
+    stream = b"BT (ET) Tj (net BT gross) Tj ET"
+    pdf = _pdf_bytes(stream, compress=True)
+    assert extract_pdf_text(pdf, min_printable_ratio=0.0) == "ETnet BT gross"

@@ -90,3 +90,72 @@ def test_hash_gate_membership_is_stable_under_growth(ids):
     for i, g in half.items():
         assert full[i] == g
     assert all(0 <= g < 1000 for g in full.values())
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_roundtrip(w, h, ch, filter_type, seed):
+    """Random pixels (gray / RGB / RGBA), random dims, EVERY scanline
+    filter type 0-4: encode_png → decode_png must be bit-exact. Pins the
+    Sub/Up/Average/Paeth unfilter arithmetic for all inputs, not just the
+    hand-picked unit-test images (VERDICT r5 #7)."""
+    from restaurant_etl_spark.sources.media_codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filter_type=filter_type)), px)
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_block_roundtrip(bw_, bh_, seed):
+    """Grayscale images built from random FLAT 8x8 blocks survive
+    encode_jpeg(quant=1) → decode_jpeg exactly: a flat block's DCT is a
+    single DC coefficient, which quant=1 carries losslessly — so any
+    error would be a real Huffman/bitstream/IDCT bug, not quantization."""
+    from restaurant_etl_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(bh_, bw_), dtype=np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(decode_jpeg(encode_jpeg(px, quant=1)), px)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_pdf_unescape_octal_roundtrip(raw):
+    """ANY byte string, escaped with full octal escaping (every byte as
+    \\ooo, zero-padded to 3 digits so following digits can't extend the
+    escape), must unescape byte-identically."""
+    from restaurant_etl_spark.sources.pdf_text import _unescape
+
+    escaped = b"".join(b"\\%03o" % b for b in raw)
+    assert _unescape(escaped) == raw
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_pdf_unescape_never_raises_on_escape_soup(raw):
+    """Arbitrary bytes fed straight into _unescape — including lone
+    trailing backslashes, \\8 \\9 non-octal digit escapes, and truncated
+    octal runs — must never raise, and unescaping can only shrink or
+    preserve length (every escape maps >=1 input bytes to <=1 output)."""
+    from restaurant_etl_spark.sources.pdf_text import _unescape
+
+    out = _unescape(raw)
+    assert isinstance(out, bytes)
+    assert len(out) <= len(raw)
+    # spec behaviors pinned on top of the no-crash property
+    assert _unescape(b"\\8") == b"8" and _unescape(b"\\9") == b"9"
+    assert _unescape(b"\\") == b""
