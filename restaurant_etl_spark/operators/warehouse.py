@@ -199,3 +199,167 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wi).alias("valid_to"),
         "n_events",
     )
+
+
+#: cdc_apply_sequential batch-2 moduli (applied to abs(key) so batch-1
+#: inserts' negated keys participate): disjoint by the stated precedence
+INC2_MOD = 7
+DEL2_MOD = 13
+UPD2_MOD = 11
+
+
+def _relational_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """One full-outer-join MERGE step (the same op set as the streaming
+    CDC sink in streaming/cdc.py:merge_apply — update / delete / insert /
+    increment), reusable so multi-batch applies compose by chaining.
+    ``changes`` columns: m_key, op, new_status, new_price."""
+    op = F.col("op")
+    return (
+        base.join(changes, base.o_orderkey == changes.m_key, "full_outer")
+        .filter(op.isNull() | (op != "delete"))
+        .select(
+            F.coalesce("o_orderkey", "m_key").alias("o_orderkey"),
+            F.when(op.isin("update", "insert"), F.col("new_status"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(op == "increment", F.coalesce("o_totalprice", F.lit(0.0)) + F.col("new_price"))
+            .when(op.isin("update", "insert"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "cdc_apply_sequential",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    c1u AS (
+        SELECT o_orderkey, 'U1' AS new_status,
+               round(o_totalprice * 1.05, 2) AS new_price
+        FROM base WHERE o_orderkey % {UPDATE_MOD} = 0
+    ),
+    s1 AS (
+        SELECT b.o_orderkey,
+               coalesce(u.new_status, b.o_orderstatus) AS o_orderstatus,
+               coalesce(u.new_price, b.o_totalprice) AS o_totalprice
+        FROM base b LEFT JOIN c1u u USING (o_orderkey)
+        WHERE b.o_orderkey % {DELETE_MOD} <> 0 OR b.o_orderkey % {UPDATE_MOD} = 0
+        UNION ALL
+        SELECT -o_orderkey, 'N', o_totalprice
+        FROM base WHERE o_orderkey % {INSERT_MOD} = 0
+    ),
+    s2 AS (
+        SELECT o_orderkey,
+               CASE WHEN abs(o_orderkey) % {INC2_MOD} <> 0
+                         AND abs(o_orderkey) % {DEL2_MOD} <> 0
+                         AND abs(o_orderkey) % {UPD2_MOD} = 0
+                    THEN 'U2' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN abs(o_orderkey) % {INC2_MOD} = 0
+                    THEN o_totalprice + 100.0
+                    WHEN abs(o_orderkey) % {DEL2_MOD} <> 0
+                         AND abs(o_orderkey) % {UPD2_MOD} = 0
+                    THEN 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM s1
+        WHERE NOT (abs(o_orderkey) % {DEL2_MOD} = 0
+                   AND abs(o_orderkey) % {INC2_MOD} <> 0)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM s2 GROUP BY o_orderstatus
+    """,
+    category="warehouse",
+)
+def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CDC batches applied in sequence through the SAME one-join MERGE
+    step the streaming sink runs per micro-batch (streaming/cdc.py) —
+    proves the apply COMPOSES: batch 2's increments land on top of batch
+    1's updates, and batch 2's deletes remove rows batch 1 inserted.
+
+    Batch 1 = the merge_upsert_orders change set (update %97 → 'U1'
+    +5%, delete %89, insert negated %83). Batch 2 is derived from the
+    post-batch-1 state by abs-key moduli (so batch-1's negative-key
+    inserts participate): increment %7 (price += 100, NON-idempotent —
+    the op whose exactly-once the streaming ledger tests pin), delete
+    %13 (minus %7), update %11 (minus both) → status 'U2' price 500.
+
+    Scale shape: two chained full-outer joins on the merge key — at
+    100 TB both sides bucket on the key, and the chain stays one
+    exchange per batch, which is exactly the micro-batch cost of the
+    streaming deployment. The oracle states the composed result in
+    plain CASE form, so any mis-sequencing (increment before update,
+    delete leaking through) hash-mismatches."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    c1 = (
+        base.filter(k % UPDATE_MOD == 0)
+        .select(
+            k.alias("m_key"),
+            F.lit("update").alias("op"),
+            F.lit("U1").alias("new_status"),
+            F.round(F.col("o_totalprice") * 1.05, 2).alias("new_price"),
+        )
+        .unionByName(
+            base.filter((k % DELETE_MOD == 0) & (k % UPDATE_MOD != 0)).select(
+                k.alias("m_key"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("string").alias("new_status"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+        .unionByName(
+            base.filter(k % INSERT_MOD == 0).select(
+                (-k).alias("m_key"),
+                F.lit("insert").alias("op"),
+                F.lit("N").alias("new_status"),
+                F.col("o_totalprice").alias("new_price"),
+            )
+        )
+    )
+    s1 = _relational_merge(base, c1)
+
+    ak = F.abs(F.col("o_orderkey"))
+    c2 = (
+        s1.filter(ak % INC2_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("m_key"),
+            F.lit("increment").alias("op"),
+            F.lit(None).cast("string").alias("new_status"),
+            F.lit(100.0).alias("new_price"),
+        )
+        .unionByName(
+            s1.filter((ak % DEL2_MOD == 0) & (ak % INC2_MOD != 0)).select(
+                F.col("o_orderkey").alias("m_key"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("string").alias("new_status"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+        .unionByName(
+            s1.filter(
+                (ak % UPD2_MOD == 0) & (ak % INC2_MOD != 0) & (ak % DEL2_MOD != 0)
+            ).select(
+                F.col("o_orderkey").alias("m_key"),
+                F.lit("update").alias("op"),
+                F.lit("U2").alias("new_status"),
+                F.lit(500.0).alias("new_price"),
+            )
+        )
+    )
+    # key 0 is both updated (0 % 97 = 0) and inserted (-0 = 0), so s1
+    # legitimately carries TWO key-0 rows; deriving c2 from s1 then emits
+    # two IDENTICAL change rows for that key, which would fan out in the
+    # merge join. Distinct-ing the change set (full rows — the branches
+    # are modulus-disjoint, so same-key rows are always identical) keeps
+    # one change per key, matching the oracle's row-wise CASE semantics.
+    s2 = _relational_merge(s1, c2.dropDuplicates())
+    return s2.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
