@@ -211,7 +211,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_between_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           round(l_extendedprice * (1 + l_tax), 2) AS gross
+           round(l_extendedprice * (1 + l_tax), 4) AS gross
     FROM lineitem
     WHERE l_quantity >= 49 AND l_discount <= 0.01
     """,
@@ -224,7 +224,12 @@ def filter_between_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 2).alias("gross"),
+        # 4 dp, not 2: the product's TRUE value lies on the 4-decimal grid
+        # (2-dec price x 2-dec tax), so rounding to the grid is engine-safe;
+        # rounding to 2 dp puts thousands of rows exactly on .xx5 half-cent
+        # boundaries where Spark and DuckDB disagree (found by the sf0.1
+        # full-registry replica, r6)
+        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 4).alias("gross"),
     )
 
 

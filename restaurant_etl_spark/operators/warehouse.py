@@ -37,7 +37,7 @@ INSERT_MOD = 83
     oracle=f"""
     WITH updates AS (
         SELECT o_orderkey, 'U' AS new_status,
-               round(o_totalprice * 1.10, 2) AS new_price
+               round(o_totalprice + 10.0, 2) AS new_price
         FROM orders WHERE o_orderkey % {UPDATE_MOD} = 0
     ),
     deletes AS (
@@ -69,7 +69,7 @@ INSERT_MOD = 83
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (the CDC-apply operator) as ONE full-outer
     join: a deterministic change-set — updates (key % 97 = 0: status 'U',
-    price +10%), deletes (key % 89 = 0, minus update keys), inserts (key
+    price +10.00), deletes (key % 89 = 0, minus update keys), inserts (key
     % 83 = 0, re-keyed by negation out of the base key space) — is
     applied to the orders
     base in a single pass:
@@ -90,7 +90,11 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("m_key"),
         F.lit("update").alias("op"),
         F.lit("U").alias("new_status"),
-        F.round(F.col("o_totalprice") * 1.10, 2).alias("new_price"),
+        # flat +10.00 surcharge, NOT x1.10: a 2-dec price times 1.1 has a
+        # third decimal, putting per-row rounds and the final sum on .xx5
+        # half-boundaries where the engines disagree (sf0.1 replica, r6);
+        # +10.00 keeps every value and sum on the cent grid
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("new_price"),
     )
     deletes = base.filter((k % DELETE_MOD == 0) & (k % UPDATE_MOD != 0)).select(
         k.alias("m_key"),
@@ -238,7 +242,7 @@ def _relational_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
     ),
     c1u AS (
         SELECT o_orderkey, 'U1' AS new_status,
-               round(o_totalprice * 1.05, 2) AS new_price
+               round(o_totalprice + 50.0, 2) AS new_price
         FROM base WHERE o_orderkey % {UPDATE_MOD} = 0
     ),
     s1 AS (
@@ -281,7 +285,7 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     1's updates, and batch 2's deletes remove rows batch 1 inserted.
 
     Batch 1 = the merge_upsert_orders change set (update %97 → 'U1'
-    +5%, delete %89, insert negated %83). Batch 2 is derived from the
+    +50.00, delete %89, insert negated %83). Batch 2 is derived from the
     post-batch-1 state by abs-key moduli (so batch-1's negative-key
     inserts participate): increment %7 (price += 100, NON-idempotent —
     the op whose exactly-once the streaming ledger tests pin), delete
@@ -303,7 +307,7 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.alias("m_key"),
             F.lit("update").alias("op"),
             F.lit("U1").alias("new_status"),
-            F.round(F.col("o_totalprice") * 1.05, 2).alias("new_price"),
+            F.round(F.col("o_totalprice") + 50.0, 2).alias("new_price"),
         )
         .unionByName(
             base.filter((k % DELETE_MOD == 0) & (k % UPDATE_MOD != 0)).select(
