@@ -921,3 +921,105 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.greatest(F.col("n_lsh"), F.lit(1)), 4).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric near-dup): short-doc-inside-long-doc
+# --------------------------------------------------------------------------
+
+#: containment threshold and the minimum shingle count that makes the
+#: ratio meaningful (a 1-shingle doc is "contained" in anything that
+#: shares its one shingle)
+CONTAINMENT_THRESHOLD = 0.9
+MIN_CONTAIN_SHINGLES = 5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT doc_a AS contained_doc, doc_b AS container_doc, c,
+               x.n AS n_contained
+        FROM com JOIN sz x ON doc_a = x.doc_id
+        UNION ALL
+        SELECT doc_b AS contained_doc, doc_a AS container_doc, c,
+               y.n AS n_contained
+        FROM com JOIN sz y ON doc_b = y.doc_id
+    )
+    SELECT contained_doc, container_doc,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST(c AS BIGINT) AS n_common,
+           round(c * 1.0 / n_contained, 4) AS containment
+    FROM directed
+    WHERE n_contained >= {MIN_CONTAIN_SHINGLES}
+      AND c * 1.0 / n_contained >= {CONTAINMENT_THRESHOLD}
+    """,
+    category="dedup",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT,
+    C(A→B) = |A∩B| / |A| — the Broder containment measure. Jaccard misses
+    a short document embedded verbatim in a much longer one (|A∩B| /
+    |A∪B| shrinks with the container's size); containment is the standard
+    training-corpus guard against excerpt/quote duplication and
+    subset-document leakage. Emits every ordered pair with C ≥ 0.9 where
+    the contained side has >= MIN_CONTAIN_SHINGLES (5) shingles.
+
+    Scale shape: identical to the exact-Jaccard path — DF-capped
+    inverted-index candidate generation (no all-pairs, no hot-shingle
+    posting-list explosion; see _exact_jaccard_pairs for the equivalence
+    bound), common-shingle counts computed once per unordered pair
+    against the uncapped table, then the two directed rows derive from
+    the same count by dividing by each side's size. One extra projection
+    over dedup_ngram_jaccard's plan — no extra join or shuffle."""
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    sh = exploded_shingles(sa)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    com = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    paired = com.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    directed = paired.select(
+        F.expr(
+            "stack(2, doc_a, doc_b, n_a, doc_b, doc_a, n_b) "
+            "AS (contained_doc, container_doc, n_contained)"
+        ),
+        "c",
+    )
+    return directed.filter(
+        (F.col("n_contained") >= MIN_CONTAIN_SHINGLES)
+        & (F.col("c") / F.col("n_contained") >= CONTAINMENT_THRESHOLD)
+    ).select(
+        "contained_doc",
+        "container_doc",
+        "n_contained",
+        F.col("c").alias("n_common"),
+        F.round(F.col("c") / F.col("n_contained"), 4).alias("containment"),
+    )
