@@ -1023,3 +1023,127 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_common"),
         F.round(F.col("c") / F.col("n_contained"), 4).alias("containment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs an already-indexed corpus
+# --------------------------------------------------------------------------
+
+#: deterministic batch selector: every 10th doc is "the new ingest batch",
+#: the rest are "the already-indexed corpus"
+BATCH_MOD = 10
+BATCH_REMAINDER = 9
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}),
+    batch  AS (SELECT * FROM sh WHERE doc_id % {BATCH_MOD} = {BATCH_REMAINDER}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT shingle FROM corpus GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS new_doc, c.doc_id AS index_doc
+        FROM batch b
+        JOIN (SELECT * FROM corpus WHERE shingle IN (SELECT shingle FROM rare)) c
+          ON b.shingle = c.shingle
+    ),
+    com AS (
+        SELECT cand.new_doc, cand.index_doc, count(*) AS c
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.new_doc
+        JOIN sh b ON b.doc_id = cand.index_doc AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT com.new_doc, com.index_doc,
+               round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+        FROM com JOIN sz x ON com.new_doc = x.doc_id
+                 JOIN sz y ON com.index_doc = y.doc_id
+        WHERE c * 1.0 / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+        SELECT new_doc, index_doc AS best_match, jaccard AS best_jaccard
+        FROM (SELECT *, row_number() OVER (PARTITION BY new_doc
+                  ORDER BY jaccard DESC, index_doc) AS rn FROM scored) t
+        WHERE rn = 1
+    )
+    SELECT b.doc_id AS new_doc,
+           best.best_match,
+           best.best_jaccard,
+           best.new_doc IS NULL AS is_new
+    FROM (SELECT DISTINCT doc_id FROM batch) b
+    LEFT JOIN best ON b.doc_id = best.new_doc
+    """,
+    category="dedup",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: a NEW batch (every 10th doc) is checked
+    against the ALREADY-INDEXED corpus (the other 9/10) — each new doc
+    gets its best near-dup match in the index (exact Jaccard ≥ 0.8) or
+    ``is_new = true``. This is the production dedup shape at 100 TB: the
+    corpus's DF-capped shingle postings are a PRE-BUILT index (bucketed
+    by shingle on disk), the batch is small, and each ingest cycle costs
+    O(batch shingles × bucket size) — the corpus is never self-joined
+    again after its initial build.
+
+    Candidates come from batch ⋈ capped-corpus postings only (the cap is
+    computed over CORPUS document frequency — batch content can't evict
+    an index shingle); scoring is exact Jaccard over the uncapped shingle
+    sets, same equivalence bound as _exact_jaccard_pairs. Batch docs too
+    short to have a shingle don't appear (they have no dedup signal)."""
+    sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
+    sh = exploded_shingles(sa)
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
+    corpus = sh.filter(~is_batch)
+    batch = sh.filter(is_batch)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    rare = (
+        corpus.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    cand = (
+        batch.withColumnRenamed("doc_id", "new_doc")
+        .join(
+            corpus.join(rare, "shingle").withColumnRenamed("doc_id", "index_doc"),
+            "shingle",
+        )
+        .select("new_doc", "index_doc")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("index_doc"), "shingle")
+    com = (
+        cand.join(sh_a, "new_doc")
+        .join(sh_b, ["index_doc", "shingle"])
+        .groupBy("new_doc", "index_doc")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        com.join(sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n_a")), "new_doc")
+        .join(sizes.select(F.col("doc_id").alias("index_doc"), F.col("n").alias("n_b")), "index_doc")
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_doc").orderBy(F.desc("jaccard"), "index_doc")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", F.col("index_doc").alias("best_match"), F.col("jaccard").alias("best_jaccard"))
+    )
+    batch_docs = batch.select(F.col("doc_id").alias("new_doc")).distinct()
+    return batch_docs.join(best, "new_doc", "left").select(
+        "new_doc",
+        "best_match",
+        "best_jaccard",
+        F.col("best_match").isNull().alias("is_new"),
+    )
