@@ -367,3 +367,115 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "cdc_extract_changes",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {UPDATE_MOD} = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % {UPDATE_MOD} = 0
+                    THEN round(o_totalprice + 10.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % {DELETE_MOD} <> 0 OR o_orderkey % {UPDATE_MOD} = 0
+        UNION ALL
+        SELECT -o_orderkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+    ),
+    diff AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'delete'
+                    WHEN a.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS op,
+               b.o_orderstatus AS new_status,
+               b.o_totalprice AS new_price
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n_changes,
+           round(sum(coalesce(new_price, 0)), 2) AS sum_new_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM diff GROUP BY op
+    """,
+    category="warehouse",
+)
+def cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACT — the inverse of the apply operators: diff two table
+    snapshots (v1 = orders; v2 = orders after the merge_upsert_orders
+    change set) into a minimal change stream of insert/update/delete ops.
+    Snapshot diffing is how CDC is bootstrapped when the source has no
+    change log (and how a lakehouse validates one): one full-outer join
+    on the key, null-safe column comparison (IS DISTINCT FROM) so
+    NULL-valued columns diff correctly, unchanged rows dropped.
+
+    Round-trip property: applying the extracted changes to v1 through
+    _relational_merge reproduces v2 exactly — pinned by
+    tests/test_warehouse_graph.py. Reported as per-op counts + checksums
+    (the change stream itself is row-per-change; the rollup keeps the
+    oracle comparison compact).
+
+    Scale shape: one key-partitioned full-outer join (bucketable, same
+    exchange as the apply side) + a 3-group rollup. At 100 TB the diff
+    prunes to touched partitions via partition-level metadata first;
+    the row-level plan here is the per-partition step."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v2 = (
+        base.filter((k % DELETE_MOD != 0) | (k % UPDATE_MOD == 0))
+        .select(
+            "o_orderkey",
+            F.when(k % UPDATE_MOD == 0, F.lit("U")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(k % UPDATE_MOD == 0, F.round(F.col("o_totalprice") + 10.0, 2))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(k % INSERT_MOD == 0).select(
+                (-k).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    changes = extract_changes(base, v2)
+    return changes.groupBy("op").agg(
+        F.count("*").alias("n_changes"),
+        F.round(F.sum(F.coalesce("new_price", F.lit(0.0))), 2).alias("sum_new_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def extract_changes(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Snapshot diff → change stream (o_orderkey, op, new_status,
+    new_price): the reusable EXTRACT half of the CDC pair. Inverse of
+    _relational_merge: merge(v1, extract_changes(v1, v2)) == v2."""
+    a = v1.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+    )
+    return changed.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("b.o_orderstatus").alias("new_status"),
+        F.col("b.o_totalprice").alias("new_price"),
+    )

@@ -144,3 +144,42 @@ def test_length_histogram_accounts_for_every_doc(spark, sf_dir):
         | (F.col("len_bucket") < 0)
     )
     assert bad.count() == 0
+
+
+def test_cdc_extract_apply_roundtrip(spark, sf_dir):
+    """extract_changes is the exact inverse of _relational_merge:
+    applying the extracted change stream to v1 reproduces v2 row-for-row
+    (the property that makes snapshot-diff CDC sound)."""
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_spark.operators.warehouse import (
+        DELETE_MOD,
+        INSERT_MOD,
+        UPDATE_MOD,
+        _relational_merge,
+        extract_changes,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v2 = (
+        base.filter((k % DELETE_MOD != 0) | (k % UPDATE_MOD == 0))
+        .select(
+            "o_orderkey",
+            F.when(k % UPDATE_MOD == 0, F.lit("U")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(k % UPDATE_MOD == 0, F.round(F.col("o_totalprice") + 10.0, 2))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(k % INSERT_MOD == 0).select(
+                (-k).alias("o_orderkey"), F.lit("N").alias("o_orderstatus"), F.col("o_totalprice")
+            )
+        )
+    )
+    changes = extract_changes(base, v2).withColumnRenamed("o_orderkey", "m_key")
+    rebuilt = _relational_merge(base, changes)
+    diff = rebuilt.exceptAll(v2).unionAll(v2.exceptAll(rebuilt))
+    assert diff.count() == 0
