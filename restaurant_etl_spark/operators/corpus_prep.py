@@ -484,3 +484,129 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.col("n1"), 4).alias("retained_pct"),
     )
+
+
+# ------------------------------------------------------- BPE apply ----
+
+#: number of learned merge rules applied by bpe_apply_merges, and the
+#: size of its output token shortlist
+BPE_N_MERGES = 8
+BPE_APPLY_TOP = 30
+
+
+def _bpe_chain_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Nested replace() chain applying merge rules p1..pN in rank order —
+    IDENTICAL text in Spark SQL and DuckDB (replace / substring / || are
+    shared), so both engines run the same left-to-right non-overlapping
+    pass per rule. Expects columns seq, p1..pN in scope."""
+    expr = "seq"
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, ' ' || substring(p{i}, 1, 1) || ' ' || "
+            f"substring(p{i}, 2, 1) || ' ', ' ' || p{i} || ' ')"
+        )
+    return expr
+
+
+def _bpe_mp_cols(n_merges: int = BPE_N_MERGES) -> str:
+    return ", ".join(
+        f"max(CASE WHEN rn = {i} THEN pair END) AS p{i}"
+        for i in range(1, n_merges + 1)
+    )
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> length(x) >= 2)) AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    pc AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, i, 2))) AS pair
+        FROM w
+    ),
+    ranked AS (
+        SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rn
+        FROM pc GROUP BY pair
+    ),
+    mp AS (SELECT {_bpe_mp_cols()} FROM ranked WHERE rn <= {BPE_N_MERGES}),
+    seqs AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM w
+    ),
+    applied AS (
+        SELECT {_bpe_chain_sql()} AS merged FROM seqs, mp
+    ),
+    toks AS (
+        SELECT unnest(list_filter(string_split(merged, ' '), x -> x <> '')) AS token
+        FROM applied
+    )
+    SELECT token, count(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {BPE_APPLY_TOP}
+    """,
+    category="corpus",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the step after bpe_pair_counts picks
+    merge rules: the top BPE_N_MERGES character pairs (by corpus
+    frequency, pair as tiebreak) are applied in rank order to every
+    word's space-separated symbol sequence, one left-to-right
+    non-overlapping replace pass per rule (a deterministic variant of
+    greedy BPE apply — both engines share the exact replace() chain
+    text, so agreement holds by construction). Output: the corpus's top
+    post-merge token frequencies, where the learned merges ('th', 'in',
+    ...) surface as single symbols.
+
+    Scale shape: the merge table is ONE row (pivoted p1..pN) broadcast
+    to every task; the replace chain is per-row codegen'd string work;
+    the only shuffles are the bounded pair-count aggregation (26² state)
+    and the final bounded token count → TakeOrderedAndProject. No
+    driver collect — the learned rules flow through the plan as data."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: F.length(x) >= 2,
+            )
+        ).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "pair"))
+        )
+        .filter(F.col("rn") <= BPE_N_MERGES)
+    )
+    mp = ranked.agg(*[
+        F.max(F.when(F.col("rn") == i, F.col("pair"))).alias(f"p{i}")
+        for i in range(1, BPE_N_MERGES + 1)
+    ])
+    seqs = words.select(
+        F.concat(F.lit(" "), F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq")
+    )
+    applied = seqs.crossJoin(F.broadcast(mp)).select(
+        F.expr(_bpe_chain_sql()).alias("merged")
+    )
+    toks = applied.select(
+        F.explode(F.filter(F.split(F.col("merged"), " "), lambda x: x != "")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(BPE_APPLY_TOP)
+    )
