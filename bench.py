@@ -80,6 +80,13 @@ HEADLINE = [
     "merge_upsert_orders",
     "graph_pagerank_parts",
     "bpe_pair_counts",
+    # round-6 additions: layout skipping, CDC pair, containment/
+    # incremental dedup, BPE apply
+    "layout_zorder_skipping",
+    "cdc_apply_sequential",
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "bpe_apply_merges",
 ]
 
 

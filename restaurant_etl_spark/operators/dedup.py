@@ -123,49 +123,69 @@ def _oph_sig_sql(n_hashes: int = N_HASHES) -> str:
 _SIG_SQL = _oph_sig_sql()
 
 
-def _exact_jaccard_pairs(
-    sh: DataFrame, threshold: float, df_cap: int = MAX_SHINGLE_DF
-) -> DataFrame:
-    """All pairs sharing ≥1 below-cap shingle, with exact Jaccard ≥
-    threshold over the FULL shingle sets.
+def _candidate_common_counts(sh: DataFrame, df_cap: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(doc_a, doc_b, n_common): EXACT common-shingle counts for every
+    pair sharing ≥ 1 below-cap shingle (doc_a < doc_b).
 
     Candidate generation is an inverted-index self-join restricted to
     shingles with document frequency ≤ ``df_cap`` — one hot stop-shingle
     ("of the menu") shared by 10^6 docs would otherwise explode into 10^12
-    pairs. Scoring then counts common shingles per candidate pair against
-    the UNCAPPED table (cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)), so the
-    Jaccard values are exact.
+    pairs. Counts stay exact in two parts (r6 rewrite — the previous
+    cand-distinct + double re-join against the full shingle table cost
+    Σ_pairs |A| ≈ 59M intermediate rows at sf0.1 = 17 s; this costs
+    Σ_below-cap df² ≈ 2.8M through ONE shuffle = ~4 s):
 
-    Equivalence bound: the result equals the uncapped computation unless a
-    qualifying pair shares ONLY above-cap shingles. At threshold t a pair
-    shares ≥ t/(1+t) · (|A|+|B|) shingles (≈44% at t=0.8); missing it
-    requires every one of those to be corpus-wide stop-shingles — at which
-    point the pair is boilerplate, exactly what DF-capping is meant to
-    ignore. tests/test_dedup_cap.py plants such a stop-shingle and proves
-    the posting list is capped while true near-dup pairs survive."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("shingle")
-    )
+      * ``c_rare``: counted DIRECTLY by the capped self-join's group-by —
+        no distinct, no re-join;
+      * ``c_hot``: above-cap commons, recovered by joining the candidate
+        PAIRS (never the hot postings with themselves) against each side's
+        hot shingles — fan-out is Σ_pairs |A ∩ hot|, and hot shingles per
+        document are few by definition. The hot shingle list itself is
+        broadcast (≤ corpus_rows / df_cap entries by construction).
+
+    Equivalence bound vs a fully uncapped computation: a pair is missed
+    only if it shares NO below-cap shingle at all — i.e. everything the
+    docs have in common is corpus-wide boilerplate, exactly what
+    DF-capping is meant to ignore. tests/test_dedup_cap.py plants such a
+    stop-shingle and proves capped exclusion + exact counts on survivors."""
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = df_tab.filter(F.col("df") <= df_cap).select("shingle")
+    hot = df_tab.filter(F.col("df") > df_cap).select("shingle")
+
     idx = sh.join(rare, "shingle")
     a = idx.alias("a")
     b = idx.alias("b")
-    cand = (
+    com_rare = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c_rare"))
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
+
+    hot_sh = sh.join(F.broadcast(hot), "shingle")
+    hot_a = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hot_b = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    corr = (
+        com_rare.select("doc_a", "doc_b")
+        .join(hot_a, "doc_a")
+        .join(hot_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("c_hot"))
     )
+    return com_rare.join(corr, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("c_rare") + F.coalesce(F.col("c_hot"), F.lit(0))).alias("n_common"),
+    )
+
+
+def _exact_jaccard_pairs(
+    sh: DataFrame, threshold: float, df_cap: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """All pairs sharing ≥1 below-cap shingle, with exact Jaccard ≥
+    threshold over the FULL shingle sets (see _candidate_common_counts
+    for the candidate/exactness machinery and the equivalence bound)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    common = _candidate_common_counts(sh, df_cap)
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
@@ -982,27 +1002,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
     sh = exploded_shingles(sa)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    idx = sh.join(rare, "shingle")
-    a, b = idx.alias("a"), idx.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    com = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    com = _candidate_common_counts(sh).withColumnRenamed("n_common", "c")
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     paired = com.join(sz_a, "doc_a").join(sz_b, "doc_b")
@@ -1103,28 +1103,39 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = sh.filter(is_batch)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
-    rare = (
-        corpus.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    cand = (
+    # same two-part exact-count scheme as _candidate_common_counts, with
+    # the DF cap computed over CORPUS frequency only: below-cap commons
+    # counted directly by the batch ⋈ capped-index join's group-by,
+    # above-cap commons recovered pair-driven via the (broadcast) hot list
+    df_tab = corpus.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = df_tab.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+    hot = df_tab.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle")
+    com_rare = (
         batch.withColumnRenamed("doc_id", "new_doc")
         .join(
             corpus.join(rare, "shingle").withColumnRenamed("doc_id", "index_doc"),
             "shingle",
         )
-        .select("new_doc", "index_doc")
-        .distinct()
-    )
-    sh_a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("index_doc"), "shingle")
-    com = (
-        cand.join(sh_a, "new_doc")
-        .join(sh_b, ["index_doc", "shingle"])
         .groupBy("new_doc", "index_doc")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c_rare"))
+    )
+    hot_batch = batch.join(F.broadcast(hot), "shingle").select(
+        F.col("doc_id").alias("new_doc"), "shingle"
+    )
+    hot_corpus = corpus.join(F.broadcast(hot), "shingle").select(
+        F.col("doc_id").alias("index_doc"), "shingle"
+    )
+    corr = (
+        com_rare.select("new_doc", "index_doc")
+        .join(hot_batch, "new_doc")
+        .join(hot_corpus, ["index_doc", "shingle"])
+        .groupBy("new_doc", "index_doc")
+        .agg(F.count("*").alias("c_hot"))
+    )
+    com = com_rare.join(corr, ["new_doc", "index_doc"], "left").select(
+        "new_doc",
+        "index_doc",
+        (F.col("c_rare") + F.coalesce(F.col("c_hot"), F.lit(0))).alias("c"),
     )
     scored = (
         com.join(sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n_a")), "new_doc")
