@@ -286,14 +286,21 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w")
     )
-    pairs = words.select(
+    # word-frequency table first — the trick every real BPE trainer uses:
+    # pair expansion runs once per DISTINCT word (vocabulary-sized), and
+    # occurrence counts flow through as weights. Result is identical to
+    # per-occurrence expansion (sum of per-word counts x multiplicity),
+    # so the oracle states the plain per-occurrence form.
+    wc = words.groupBy("w").agg(F.count("*").alias("nw"))
+    pairs = wc.select(
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
+        ).alias("pair"),
+        "nw",
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("nw").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
@@ -576,16 +583,23 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w")
     )
-    pairs = words.select(
+    # word-frequency table: the replace chain runs once per DISTINCT word
+    # (vocabulary-sized — the real-BPE-trainer shape), with occurrence
+    # counts carried as weights; identical result to per-occurrence
+    # application, so the oracle states the plain form. Materialized once:
+    # both the rule learner and the apply side consume it.
+    wc = words.groupBy("w").agg(F.count("*").alias("nw")).localCheckpoint()
+    pairs = wc.select(
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
+        ).alias("pair"),
+        "nw",
     )
     from pyspark.sql.window import Window
 
     ranked = (
         pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("nw").alias("n"))
         .withColumn(
             "rn", F.row_number().over(Window.orderBy(F.desc("n"), "pair"))
         )
@@ -595,18 +609,20 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == i, F.col("pair"))).alias(f"p{i}")
         for i in range(1, BPE_N_MERGES + 1)
     ])
-    seqs = words.select(
-        F.concat(F.lit(" "), F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq")
+    seqs = wc.select(
+        F.concat(F.lit(" "), F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
+        "nw",
     )
     applied = seqs.crossJoin(F.broadcast(mp)).select(
-        F.expr(_bpe_chain_sql()).alias("merged")
+        F.expr(_bpe_chain_sql()).alias("merged"), "nw"
     )
     toks = applied.select(
-        F.explode(F.filter(F.split(F.col("merged"), " "), lambda x: x != "")).alias("token")
+        F.explode(F.filter(F.split(F.col("merged"), " "), lambda x: x != "")).alias("token"),
+        "nw",
     )
     return (
         toks.groupBy("token")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("nw").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(BPE_APPLY_TOP)
     )
