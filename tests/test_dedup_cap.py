@@ -81,3 +81,48 @@ def test_exact_baseline_size_guard(spark, monkeypatch):
     # and under the cap it still runs (the guard is a gate, not a break)
     monkeypatch.setattr(similarity, "EXACT_BASELINE_MAX_ROWS", 10_000_000)
     assert similarity.dedup_embedding_cosine(spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_two_part_counts_equal_bruteforce_on_random_corpora(spark):
+    """_candidate_common_counts (r6 rewrite: capped direct counts + hot
+    correction) must produce EXACTLY the brute-force common-shingle count
+    for every candidate pair, across corpora where the cap is active.
+    Deterministic pseudo-random corpora; cap=3 so several shingles are
+    hot by construction."""
+    import hashlib
+
+    from restaurant_etl_spark.operators.dedup import _candidate_common_counts
+
+    for seed in range(3):
+        # ~14 docs of 6 tokens over a tiny alphabet -> dense overlap with
+        # both rare and hot shingles at cap=3
+        def tok(i, j):
+            return f"t{int(hashlib.md5(f'{seed}:{i}:{j}'.encode()).hexdigest()[:4], 16) % 7}"
+
+        rows = [(i, " ".join(tok(i, j) for j in range(6))) for i in range(14)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        from restaurant_etl_spark.operators.dedup import shingle_table
+
+        sh = shingle_table(docs)
+        got = {
+            (r.doc_a, r.doc_b): r.n_common
+            for r in _candidate_common_counts(sh, df_cap=3).collect()
+        }
+        # brute force in python
+        shingles = {}
+        for r in sh.collect():
+            shingles.setdefault(r.doc_id, set()).add(r.shingle)
+        df = {}
+        for ss in shingles.values():
+            for s_ in ss:
+                df[s_] = df.get(s_, 0) + 1
+        expect = {}
+        ids = sorted(shingles)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                common = shingles[a] & shingles[b]
+                # candidate iff >=1 BELOW-cap common shingle
+                if any(df[s_] <= 3 for s_ in common):
+                    expect[(a, b)] = len(common)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
