@@ -156,3 +156,79 @@ def scalar_date_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("o_orderdate", 45).alias("plus_45d"),
         F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
     )
+
+
+_VARIANT_TMPL = (
+    '{"order": {"key": %d, "status": "%s"}, '
+    '"amount_cents": %d, "tags": ["pri-%s"]}'
+)
+
+
+@register(
+    "variant_json_shred",
+    oracle=f"""
+    WITH payload AS (
+        SELECT printf('{_VARIANT_TMPL}',
+                      o_orderkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT),
+                      o_orderpriority) AS js
+        FROM orders
+    ),
+    shredded AS (
+        SELECT CAST(json_extract(js, '$.order.key') AS BIGINT) AS okey,
+               json_extract_string(js, '$.order.status') AS status,
+               CAST(json_extract(js, '$.amount_cents') AS BIGINT) AS cents,
+               json_extract_string(js, '$.tags[0]') AS tag
+        FROM payload
+    )
+    SELECT status, tag,
+           count(*) AS n_orders,
+           CAST(min(okey) AS BIGINT) AS min_key,
+           round(sum(cents) / 100.0, 2) AS total
+    FROM shredded
+    WHERE cents > 1000000
+    GROUP BY status, tag
+    """,
+    category="relational",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type — the log-
+    shredding pattern a 100 TB pipeline runs on JSON event feeds: raw
+    JSON text → ``parse_json`` (binary variant, parsed ONCE) → typed
+    ``variant_get`` path extractions (incl. an array index) → predicate
+    on an extracted field → aggregate. The JSON payloads are synthesized
+    deterministically from orders with printf-style formatting (%d/%s
+    only — no float rendering, so both engines build byte-identical
+    text); the DuckDB oracle shreds the same payloads with its JSON
+    functions, proving the variant path semantics end-to-end.
+
+    Scale shape: pure per-row codegen (parse + typed extract), one
+    bounded aggregation; at scale the win over from_json-with-schema is
+    that VARIANT defers schema to read time — each consumer extracts
+    only its paths, no full-struct materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    payload = o.select(
+        F.format_string(
+            _VARIANT_TMPL,
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.col("o_orderpriority"),
+        ).alias("js")
+    )
+    v = payload.select(F.parse_json(F.col("js")).alias("v"))
+    shredded = v.select(
+        F.variant_get(F.col("v"), "$.order.key", "bigint").alias("okey"),
+        F.variant_get(F.col("v"), "$.order.status", "string").alias("status"),
+        F.variant_get(F.col("v"), "$.amount_cents", "bigint").alias("cents"),
+        F.variant_get(F.col("v"), "$.tags[0]", "string").alias("tag"),
+    )
+    return (
+        shredded.filter(F.col("cents") > 1_000_000)
+        .groupBy("status", "tag")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("okey").alias("min_key"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total"),
+        )
+    )
