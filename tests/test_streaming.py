@@ -362,3 +362,40 @@ def test_session_windows_restart_no_dup_no_loss(
     want = _rows(batch, *cols)
     assert got == want  # sessions across the restart boundary merged exactly
     assert len(got) == len(set(got))
+
+
+def test_state_store_reader_exposes_aggregation_state(spark, tmp_path):
+    """Spark 4's state data source ('statestore' / 'state-metadata'
+    formats) reads a query's checkpointed operator state back as a
+    DataFrame — the observability path for debugging a 100 TB stateful
+    job without replaying it. The state of a per-user count must equal
+    the batch aggregate of the drained input."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    data = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)],
+        "event_id bigint, user_id bigint, value double",
+    )
+    data.write.parquet(src)
+    stream = spark.readStream.schema(data.schema).parquet(src)
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("state_reader_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    state = spark.read.format("statestore").load(ckpt)
+    # the state value struct carries the aggregator's internal field
+    # name ("count"), not the output alias
+    got = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
+    expect = {r["user_id"]: r["n"] for r in data.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = [r["operatorName"] for r in meta.collect()]
+    assert ops == ["stateStoreSave"], ops  # the streaming-agg state operator
