@@ -258,3 +258,45 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user running totals as ``running_user_totals``, on
+    Spark 4's ``transformWithStateInPandas`` — the successor stateful API
+    (typed composite state, timers, TTL; REQUIRES the RocksDB state store
+    provider). Kept as a twin so the two APIs are directly comparable and
+    the migration path is demonstrated: same input, same output contract,
+    same restart semantics, state held in a ValueState instead of the
+    single GroupState blob.
+
+    Environment note: the transformWithState protocol requires the
+    ``protobuf`` python package (not installed in this sandbox — no
+    network), so the restart test for this twin auto-skips here and runs
+    in any real deployment; applyInPandasWithState's twin carries the
+    in-sandbox coverage."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n bigint, v double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n, v = self._tot.get() if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._tot.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        _Totals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -399,3 +399,65 @@ def test_state_store_reader_exposes_aggregation_state(spark, tmp_path):
     meta = spark.read.format("state-metadata").load(ckpt)
     ops = [r["operatorName"] for r in meta.collect()]
     assert ops == ["stateStoreSave"], ops  # the streaming-agg state operator
+
+
+def test_transform_with_state_totals_across_restarts(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API, RocksDB-only):
+    per-user ValueState survives kill-and-resume, and the latest emitted
+    totals equal the full batch aggregate — the same contract
+    running_user_totals proves for applyInPandasWithState.
+
+    The API's state protocol needs the protobuf python package, which is
+    not installed in this sandbox — the test runs wherever protobuf
+    exists (any real deployment) and skips here; the
+    applyInPandasWithState twin provides the fully-in-sandbox coverage
+    of the same contract."""
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    from restaurant_etl_spark.streaming.jobs import running_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        events = spark.read.parquet(
+            stage_events_source(spark, sf_dir, str(tmp_path / "all_events"))
+        )
+        half1 = events.filter(F.col("event_id") % 2 == 0)
+        half2 = events.filter(F.col("event_id") % 2 == 1)
+        src = str(tmp_path / "src")
+        half1.write.mode("append").parquet(src)
+        sink = str(tmp_path / "sink")
+
+        def run_once():
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            q = (
+                running_user_totals_tws(stream)
+                .writeStream.foreachBatch(
+                    lambda df, eid: df.write.mode("append").parquet(sink)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+
+        run_once()
+        half2.write.mode("append").parquet(src)
+        run_once()  # restart: ValueState recovered from checkpoint
+
+        latest = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        expected = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
