@@ -1158,3 +1158,66 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_jaccard",
         F.col("best_match").isNull().alias("is_new"),
     )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
+        FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           round(sum(jaccard), 4) AS sum_jaccard
+    FROM pairs
+    JOIN documents da ON pairs.doc_a = da.doc_id
+    JOIN documents db ON pairs.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    category="dedup",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance artifact: WHERE does duplication come from? The
+    exact near-dup pairs (Jaccard ≥ 0.8) are attributed to their sources
+    and rolled into a (source_a, source_b) matrix — diagonal entries are
+    within-feed duplication (a crawler re-fetching itself), off-diagonal
+    entries are cross-feed mirroring (two vendors shipping the same
+    content), which is the expensive kind to discover late. Sources are
+    least/greatest-normalized so each unordered feed pair is one row.
+
+    Scale shape: the pair machinery is the shared DF-capped inverted
+    index (_candidate_common_counts); attribution is two broadcast-able
+    joins against the doc→source projection (at 100 TB the doc table
+    side is column-pruned to (doc_id, source)); the final matrix is
+    bounded by #sources², not by pairs."""
+    d = _docs(spark, sf_dir)
+    sa = shingle_arrays(d).localCheckpoint()
+    pairs = _exact_jaccard_pairs(exploded_shingles(sa), JACCARD_THRESHOLD)
+    src = d.select("doc_id", "source")
+    out = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    # sum, not avg: the jaccards are exact 4-decimal values, so their SUM
+    # lies exactly on the 1e-4 grid (engine-safe rounding), while an avg
+    # divides off-grid and can land on an .xxx5 half-boundary where the
+    # engines' rounding paths disagree (seen at sf0.1)
+    return out.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+    )
