@@ -86,6 +86,7 @@ HEADLINE = [
     "cdc_apply_sequential",
     "dedup_containment",
     "dedup_incremental_batch",
+    "dedup_source_overlap_matrix",
     "bpe_apply_merges",
 ]
 
