@@ -870,3 +870,122 @@ def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(hits).join(docs, "vec_id").select(
         "q_id", "vec_id", "cos", "rn", "lang", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Adaptive-width keep-list: band width derived from corpus size
+# --------------------------------------------------------------------------
+
+#: adaptive keep-list: 2 bands drawn from a 32-bit signature; per-corpus
+#: band width B = clamp(bit_length(n), 8, 16), computed IDENTICALLY in
+#: both engines as length(bin(n)) — integer semantics, no log2 FP edge
+#: at powers of two. E[random collisions] ≈ 2·C(n,2)/2^B stays Θ(n)
+#: while B tracks log2(n).
+ADAPT_MAX_BITS = 32
+ADAPT_BANDS = 2
+ADAPT_MIN_B = 8
+ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
+
+
+@register(
+    "dedup_embedding_keep_adaptive",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    bw AS (
+        SELECT LEAST({ADAPT_MAX_B}, GREATEST({ADAPT_MIN_B},
+                     length(bin(count(*))))) AS b
+        FROM e
+    ),
+    s AS (SELECT vec_id, v, {_duck_sig(ADAPT_MAX_BITS)} AS sig FROM e),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, v, {k} AS band_idx, "
+            f"list_aggregate(list_transform(range(1, bw.b + 1), "
+            f"r -> sig[{k} * bw.b + r] * (1 << (r - 1))), 'sum') AS band "
+            f"FROM s, bw"
+            for k in range(ADAPT_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
+    ),
+    dup AS (
+        SELECT id_a, id_b FROM cand
+        WHERE {_DUCK_DOT.format(a='va', b='vb')}
+              / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}) >= 0.3
+    )
+    SELECT e.vec_id,
+           coalesce(min(d.id_a), e.vec_id) AS canonical_id,
+           coalesce(min(d.id_a), e.vec_id) = e.vec_id AS is_kept
+    FROM e LEFT JOIN dup d ON d.id_b = e.vec_id
+    GROUP BY e.vec_id
+    """,
+    category="dedup",
+)
+def dedup_embedding_keep_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-ADAPTIVE sibling of dedup_embedding_keep: band width is
+    derived from the corpus size at plan time — B = clamp(bit_length(n),
+    8, 16) via ``length(bin(n))`` (integer bit-length, identical in both
+    engines; no log2 FP edge at powers of two) — so the random-collision
+    candidate set stays Θ(n) BY CONSTRUCTION as the corpus grows:
+    E[collisions] ≈ 2·C(n,2)/2^B with B tracking log2(n), vs the fixed-
+    width operator's measured 105× pair growth per data decade. Near-
+    identical duplicates (the keep-list's target) collide at
+    (1 - θ/π)^B per band, which stays high precisely as θ → 0, so the
+    adaptivity costs recall only on low-cosine borderline pairs.
+
+    Measured (r6): candidate pairs per vector 1.31 at n=2k (B=11) and
+    1.08 at n=20k (B=15) — constant-per-row across the data decade,
+    versus the fixed-width operator's 0.7 → 7.2 (105× total growth).
+
+    Mechanics: one 32-bit hyperplane signature per row (literal ±1
+    matrix, codegen'd), the corpus count broadcast as a 1-row frame, two
+    band keys sliced to B bits each, bucket self-join, exact cosine
+    ≥ 0.3 verify inside buckets, min-id canonical per vector — one
+    keep/drop row per vector."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    bw = e.agg(
+        F.least(
+            F.lit(ADAPT_MAX_B),
+            F.greatest(F.lit(ADAPT_MIN_B), F.length(F.bin(F.count("*")))),
+        ).cast("int").alias("b")
+    )
+    s = e.select("vec_id", "v", F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig")).crossJoin(
+        F.broadcast(bw)
+    )
+    band_val = [
+        F.expr(
+            f"aggregate(sequence(1, b), 0, "
+            f"(acc, r) -> acc + element_at(sig, {k} * b + r) * CAST(shiftleft(1, r - 1) AS INT))"
+        ).alias(f"band{k}")
+        for k in range(ADAPT_BANDS)
+    ]
+    bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    dup = cand.filter(cosine(_dvec("va"), _dvec("vb")) >= 0.3).select("id_a", "id_b")
+    return (
+        e.join(dup, e.vec_id == dup.id_b, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.min("id_a"), F.first("vec_id")).alias("canonical_id"),
+            (F.coalesce(F.min("id_a"), F.first("vec_id")) == F.first("vec_id")).alias("is_kept"),
+        )
+    )
