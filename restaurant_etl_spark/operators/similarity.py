@@ -989,3 +989,58 @@ def dedup_embedding_keep_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.coalesce(F.min("id_a"), F.first("vec_id")) == F.first("vec_id")).alias("is_kept"),
         )
     )
+
+
+#: hard negatives mined per query
+NEG_K = 5
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=f"""
+    WITH ex AS ({_registered_oracle("similarity_topk_cosine")}),
+    pos AS (SELECT q_id, vec_id AS pos_id FROM ex WHERE rn = 1),
+    ann AS ({_registered_oracle("similarity_ivf_sqrtn_topk")})
+    SELECT a.q_id, p.pos_id, a.vec_id AS neg_id, a.cos AS neg_cos,
+           CAST(row_number() OVER (PARTITION BY a.q_id
+                ORDER BY a.cos DESC, a.vec_id) AS INTEGER) AS neg_rank
+    FROM ann a JOIN pos p ON a.q_id = p.q_id
+    WHERE a.vec_id <> p.pos_id
+    QUALIFY neg_rank <= {NEG_K}
+    """,
+    category="similarity",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training — the
+    standard pipeline step: for every query vector, the POSITIVE is the
+    exact nearest neighbor (brute-force top-1, the ground truth), and
+    the HARD NEGATIVES are the top NEG_K ANN hits from the IVF index
+    EXCLUDING that positive — near-misses ranked high by the serving
+    index, exactly the examples a contrastive loss learns the most from
+    (random negatives are trivially separable; index-mined ones aren't).
+
+    Output one row per (query, negative): q_id, pos_id, neg_id, neg_cos,
+    neg_rank. Both the positive set and the mining pool are the ALREADY
+    REGISTERED pipelines (their oracles compose as CTEs), so this adds
+    one broadcast-able join on q_id + a bounded per-query window — at
+    100 TB the mining pool is the served ANN index, the positives come
+    from labeled pairs, and the plan shape is unchanged."""
+    ex = similarity_topk_cosine(spark, sf_dir)
+    pos = ex.filter(F.col("rn") == 1).select("q_id", F.col("vec_id").alias("pos_id"))
+    ann = similarity_ivf_sqrtn_topk(spark, sf_dir).select("q_id", "vec_id", "cos")
+    joined = (
+        ann.join(pos, "q_id")
+        .filter(F.col("vec_id") != F.col("pos_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        joined.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select(
+            "q_id",
+            "pos_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+            "neg_rank",
+        )
+    )
