@@ -94,9 +94,31 @@ def merge_apply(
         return False
 
     base = read_target(spark, target_dir)
-    # last change per key wins within a batch (CDC sources can emit
-    # several ops for one key in one batch; seq-less sources pre-compact)
-    c = changes.dropDuplicates(["m_key"])
+    # intra-batch compaction must be DETERMINISTIC: a bare
+    # dropDuplicates(["m_key"]) picks an arbitrary row when one batch
+    # carries different ops for the same key. Without a source sequence
+    # column the only sound order is a fixed op precedence — delete >
+    # update > insert > increment (a delete supersedes anything else in
+    # the same batch; increment loses to explicit sets) — with the full
+    # row as the final tiebreak so even duplicate-op batches compact
+    # identically on every replay. Sources with a real seq column should
+    # pre-compact on it instead.
+    from pyspark.sql.window import Window
+
+    prio = (
+        F.when(F.col("op") == "delete", 0)
+        .when(F.col("op") == "update", 1)
+        .when(F.col("op") == "insert", 2)
+        .otherwise(3)
+    )
+    w = Window.partitionBy("m_key").orderBy(
+        prio, F.col("new_status").asc_nulls_last(), F.col("new_price").asc_nulls_last()
+    )
+    c = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     op = F.col("op")
     merged = (

@@ -168,3 +168,26 @@ def test_cdc_stream_restart_no_double_apply(spark, tmp_path, state_store_provide
     after = snapshot()
     assert after == before, "redelivered batch was double-applied"
     assert read_ledger(tgt)["applied"] == applied_before
+
+
+def test_intra_batch_compaction_is_deterministic(spark, tmp_path):
+    """A batch carrying SEVERAL different ops for one key must compact by
+    the fixed op precedence (delete > update > insert > increment), not
+    by arbitrary row choice — replays must apply identically."""
+    tgt = str(tmp_path / "tgt")
+    merge_apply(spark, tgt, _changes(spark, [("insert", 1, "I", 10.0),
+                                             ("insert", 2, "I", 10.0)]), 0)
+    # key 1: increment AND update in one batch -> update wins
+    # key 2: delete AND increment in one batch -> delete wins
+    b1 = _changes(
+        spark,
+        [("increment", 1, None, 5.0), ("update", 1, "U", 99.9),
+         ("increment", 2, None, 5.0), ("delete", 2, None, None)],
+    )
+    assert merge_apply(spark, tgt, b1, 1)
+    state = {
+        r.o_orderkey: (r.o_orderstatus, round(r.o_totalprice, 2))
+        for r in read_target(spark, tgt).collect()
+    }
+    assert state[1] == ("U", 99.9)
+    assert 2 not in state
