@@ -161,6 +161,11 @@ def _candidate_common_counts(sh: DataFrame, df_cap: int = MAX_SHINGLE_DF) -> Dat
         .agg(F.count("*").alias("c_rare"))
     )
 
+    # the capped self-join aggregation feeds BOTH the correction branch
+    # and the final join — materialize it once (pair-count-sized) so the
+    # corpus-dominating self-join never executes twice in one plan
+    com_rare = com_rare.localCheckpoint()
+
     hot_sh = sh.join(F.broadcast(hot), "shingle")
     hot_a = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     hot_b = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1119,6 +1124,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_doc", "index_doc")
         .agg(F.count("*").alias("c_rare"))
     )
+    # com_rare feeds both the correction branch and the final join —
+    # materialize once, same rationale as _candidate_common_counts
+    com_rare = com_rare.localCheckpoint()
     hot_batch = batch.join(F.broadcast(hot), "shingle").select(
         F.col("doc_id").alias("new_doc"), "shingle"
     )
