@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "dedup_source_overlap_matrix",
     "dedup_embedding_keep_adaptive",
+    "retrieval_hard_negatives",
     "bpe_apply_merges",
 ]
 
