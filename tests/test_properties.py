@@ -159,3 +159,26 @@ def test_pdf_unescape_never_raises_on_escape_soup(raw):
     # spec behaviors pinned on top of the no-crash property
     assert _unescape(b"\\8") == b"8" and _unescape(b"\\9") == b"9"
     assert _unescape(b"\\") == b""
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=2, max_value=16),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_encode_decode_roundtrip(w, h, n_colors, literals_only, seed):
+    """Random palettes (2-16 colors), random dims, BOTH LZW stream styles
+    (compressed and clear-heavy literals): encode_gif → decode_gif must
+    be pixel-exact. Pins code-width growth, deferred clears, and the
+    KwKwK edge for all inputs, completing the codec property family
+    (PNG/JPEG/PDF already covered)."""
+    from restaurant_etl_spark.sources.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w))
+    px = palette[idx]
+    assert np.array_equal(decode_gif(encode_gif(px, literals_only=literals_only)), px)
