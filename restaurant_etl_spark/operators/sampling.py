@@ -140,3 +140,76 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in MIXTURE_PERMILLE.items():
         keep = F.when(F.col("lang") == k, v).otherwise(keep)
     return d.select("doc_id", "lang").filter(pm < keep)
+
+
+@register(
+    "corpus_mixture_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok,
+               ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS pm,
+               CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_PERMILLE.items())}
+                    ELSE 0 END AS keep_pm
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, keep_pm AS target_permille,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN pm < keep_pm THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+               CAST(sum(CASE WHEN pm < keep_pm THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM t GROUP BY lang, keep_pm
+    )
+    SELECT lang, target_permille, n_docs, n_tokens, kept_docs, kept_tokens,
+           round(kept_tokens * 1.0 / (SELECT sum(kept_tokens) FROM agg), 4)
+               AS kept_token_share
+    FROM agg
+    """,
+    category="sampling",
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture ACCOUNTING artifact that pairs with
+    sample_weighted_mixture: per language — raw doc/token counts, the
+    target keep rate, what the hash gate actually kept, and each
+    language's share of the post-mixture token budget. This is the table
+    a pretraining run reviews before launching (did the weights produce
+    the intended token mixture?) and re-emits after every corpus
+    refresh; because the gate is a pure function of (salt, doc_id), the
+    report is exactly reproducible against any rebuild.
+
+    Scale shape: one scan computing per-doc token counts + the gate
+    (pure map), one bounded groupBy(lang), and a 1-row total broadcast
+    for the share — no join against the sampled output, the gate is
+    re-evaluated inline."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    pm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    keep = F.lit(0)
+    for k, v in MIXTURE_PERMILLE.items():
+        keep = F.when(F.col("lang") == k, v).otherwise(keep)
+    t = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        pm.alias("pm"),
+        keep.alias("keep_pm"),
+    )
+    agg = t.groupBy("lang", F.col("keep_pm").alias("target_permille")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.when(F.col("pm") < F.col("keep_pm"), 1).otherwise(0)).alias("kept_docs"),
+        F.sum(F.when(F.col("pm") < F.col("keep_pm"), F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+    )
+    total = agg.agg(F.sum("kept_tokens").alias("total_kept"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "target_permille",
+        "n_docs",
+        "n_tokens",
+        "kept_docs",
+        "kept_tokens",
+        F.round(F.col("kept_tokens") / F.col("total_kept"), 4).alias("kept_token_share"),
+    )
