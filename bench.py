@@ -166,7 +166,12 @@ def main() -> int:
             stats.pop(name, None)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Full detail (per-query min/median/max envelopes + cold timings) goes to
+    # STDERR: the driver's artifact keeps only the LAST ~2000 chars of stdout
+    # (BENCH_r06.json tail analysis — the verbose line overflowed it and
+    # `parsed` came back null, losing most per-query history). Humans and
+    # committed logs still get everything via 2>.
+    full = {
         "metric": "headline_total",
         "spark_version": spark.version,
         "value": total,
@@ -183,7 +188,25 @@ def main() -> int:
         "cold_queries": cold,
         "errors": errors,
         "sf": sf,
-    }))
+    }
+    print(json.dumps(full), file=sys.stderr)
+    # STDOUT gets ONE compact line sized to survive the 2000-char tail
+    # capture: headline metric + the full per-query steady-median map.
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "mode": "steady_state_plan_reuse",
+        "cold_total": full["cold_total"],
+        "queries": timings,
+        "errors": {k: v[:80] for k, v in errors.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1950:  # belt-and-braces: never overflow the tail window
+        compact.pop("errors", None)
+        line = json.dumps(compact)
+    print(line)
     return 0
 
 

@@ -72,7 +72,7 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
 @register(
     "similarity_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 12800),
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {QUERY_ID_CAP}),
     scored AS (
         SELECT q_id, e.vec_id,
                round({_DUCK_DOT.format(a='qv', b='e.embedding')}
@@ -475,7 +475,7 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e CROSS JOIN cent c) t
         WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < 12800),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < {QUERY_ID_CAP}),
     probes AS (
         SELECT q_id, qv, c_label FROM (
             SELECT q.q_id, q.qv, c.c_label,
@@ -629,7 +629,7 @@ def _duck_lloyd_rounds(rounds: int) -> str:
             FROM e CROSS JOIN cent c) t
         WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < 12800),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < {QUERY_ID_CAP}),
     probes AS (
         SELECT q_id, qv, c_cell FROM (
             SELECT q.q_id, q.qv, c.c_cell,
@@ -784,7 +784,7 @@ def _registered_oracle(name: str) -> str:
             FROM (SELECT id_a AS q_id, id_b AS vec_id, cos FROM lshp
                   UNION ALL
                   SELECT id_b AS q_id, id_a AS vec_id, cos FROM lshp) n
-            WHERE n.q_id % 100 = 0 AND n.q_id < 12800) t
+            WHERE n.q_id % 100 = 0 AND n.q_id < {QUERY_ID_CAP}) t
         WHERE rn <= {TOP_K}
     ),
     methods AS (

@@ -37,6 +37,21 @@ swapping the target for a real table format keeps the job code identical.
 Versions are full rewrites here because the merge output IS the new
 table; a production target partitions/buckets on the merge key so each
 micro-batch rewrites only the touched partitions.
+
+Applied-batch bookkeeping is a HIGH-WATERMARK, not a list: Structured
+Streaming delivers foreachBatch ids in strictly increasing order from one
+query, so "batch_id <= hwm" is exactly "already applied" — O(1) per
+batch, O(1) ledger size forever (ADVICE r6 #3; Delta's per-appId ``txn``
+version is the same idea).
+
+Single-writer contract (documented, like every lakehouse log without a
+coordination service): at most ONE streaming query may sink into a given
+``target_dir`` at a time. ``os.replace`` makes each ledger write atomic,
+but two concurrent sinks could interleave read-modify-write and lose an
+update; Structured Streaming itself enforces one active query per
+checkpoint dir, so the contract holds whenever target_dir ↔ checkpoint
+dir is 1:1 (as in :func:`cdc_apply_sink`). Multi-writer targets need a
+real table format's optimistic-commit log instead.
 """
 
 from __future__ import annotations
@@ -58,11 +73,18 @@ def _ledger_path(target_dir: str) -> str:
 
 
 def read_ledger(target_dir: str) -> dict:
+    """Ledger state: ``{"hwm": <max applied batch id or None>, "current":
+    <version dir or None>}``. Old list-format ledgers (``{"applied":
+    [...]}``) are upgraded on read so pre-r7 targets keep working."""
     p = _ledger_path(target_dir)
     if not os.path.exists(p):
-        return {"applied": [], "current": None}
+        return {"hwm": None, "current": None}
     with open(p, encoding="utf-8") as f:
-        return json.load(f)
+        ledger = json.load(f)
+    if "applied" in ledger:  # legacy list format → high-watermark
+        applied = ledger.pop("applied")
+        ledger["hwm"] = max(applied) if applied else None
+    return ledger
 
 
 def _write_ledger(target_dir: str, ledger: dict) -> None:
@@ -87,10 +109,13 @@ def merge_apply(
 ) -> bool:
     """Apply one micro-batch of changes to the target with MERGE semantics.
     Returns False (and does nothing) if ``batch_id`` was already applied —
-    the idempotence half of the exactly-once contract."""
+    the idempotence half of the exactly-once contract. "Already applied"
+    is the O(1) high-watermark test: foreachBatch ids from one query are
+    strictly increasing, so redelivery (always of the LAST batch) lands at
+    ``batch_id <= hwm``."""
     os.makedirs(target_dir, exist_ok=True)
     ledger = read_ledger(target_dir)
-    if batch_id in ledger["applied"]:
+    if ledger["hwm"] is not None and batch_id <= ledger["hwm"]:
         return False
 
     base = read_target(spark, target_dir)
@@ -138,7 +163,7 @@ def merge_apply(
 
     version = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(target_dir, version))
-    ledger["applied"].append(batch_id)
+    ledger["hwm"] = batch_id
     ledger["current"] = version
     _write_ledger(target_dir, ledger)
     return True

@@ -86,7 +86,22 @@ def test_merge_apply_skips_duplicate_batch_id(spark, tmp_path):
     assert merge_apply(spark, tgt, inc, 1) is False  # redelivery: skipped
     [r] = read_target(spark, tgt).collect()
     assert round(r.o_totalprice, 2) == 15.0  # applied exactly once
-    assert read_ledger(tgt)["applied"] == [0, 1]
+    assert read_ledger(tgt)["hwm"] == 1
+
+
+def test_ledger_legacy_list_format_upgrades(tmp_path):
+    """Pre-r7 ledgers stored the applied ids as a list; read_ledger must
+    upgrade them to the high-watermark form so existing targets resume."""
+    import json
+
+    tgt = str(tmp_path / "tgt")
+    os.makedirs(tgt)
+    with open(os.path.join(tgt, "_cdc_ledger.json"), "w", encoding="utf-8") as f:
+        json.dump({"applied": [0, 1, 2], "current": "v2"}, f)
+    led = read_ledger(tgt)
+    assert led["hwm"] == 2
+    assert led["current"] == "v2"
+    assert "applied" not in led
 
 
 def _write_change_file(spark, src_dir, rows, ts, cid_base):
@@ -150,7 +165,7 @@ def test_cdc_stream_restart_no_double_apply(spark, tmp_path, state_store_provide
     assert before[1] == ("I", 15.0)
     assert 11 not in before
     assert before[12] == ("U", 77.7)
-    applied_before = read_ledger(tgt)["applied"]
+    hwm_before = read_ledger(tgt)["hwm"]
 
     # force redelivery: drop the last commit marker, keeping the offsets —
     # on restart Spark re-executes the batch it thinks never finished
@@ -167,7 +182,7 @@ def test_cdc_stream_restart_no_double_apply(spark, tmp_path, state_store_provide
 
     after = snapshot()
     assert after == before, "redelivered batch was double-applied"
-    assert read_ledger(tgt)["applied"] == applied_before
+    assert read_ledger(tgt)["hwm"] == hwm_before
 
 
 def test_intra_batch_compaction_is_deterministic(spark, tmp_path):
