@@ -87,7 +87,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_incremental_batch",
     "dedup_source_overlap_matrix",
-    "dedup_embedding_keep_adaptive",
+    "dedup_embedding_keep_fixedband",
     "retrieval_hard_negatives",
     "bpe_apply_merges",
 ]

@@ -348,18 +348,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: dedicated banding for the keep-list: band WIDTH is the knob that bounds
-#: bucket population (expected n / 2^bits per band), so it must grow with
-#: log2(n) — 12-bit bands keep buckets ~12 deep at 50k vectors where the
-#: 8-bit candidate-query bands would hold ~200. At 10^9 vectors you'd run
-#: ~30-bit bands; the pipeline shape is unchanged.
+#: pinned banding for the CALIBRATION twin: band WIDTH is the knob that
+#: bounds bucket population (expected n / 2^bits per band), so production
+#: grows it with log2(n) (see dedup_embedding_keep); this twin pins it so
+#: recall sweeps compare like-for-like across corpora.
 KEEP_BITS = 24
 KEEP_BANDS = 2
 KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
 
 
 @register(
-    "dedup_embedding_keep",
+    "dedup_embedding_keep_fixedband",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     s AS (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig FROM e),
@@ -389,29 +388,24 @@ KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
     """,
     category="dedup",
 )
-def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic-dedup keep-list — the bucketed PRODUCTION path that closes
-    the quadratic-only gap of dedup_embedding_cosine (VERDICT r3 #4):
-    hyperplane-LSH band buckets (24-bit/2×12 signatures, KEEP_BITS)
-    generate candidates, exact cosine ≥ 0.3 verifies INSIDE buckets only,
-    and each vector keeps the smallest verified-duplicate id as its
-    canonical (itself if none) — one keep/drop row per vector, mirroring
-    dedup_minhash_keep (dedup.py).
+def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION TWIN (fixed band width) of the production keep-list
+    ``dedup_embedding_keep``. Same pipeline shape — hyperplane-LSH band
+    buckets (24-bit/2×12 signatures, KEEP_BITS) generate candidates,
+    exact cosine ≥ 0.3 verifies INSIDE buckets only, min-duplicate-id
+    canonical per vector — but the band width is a COMPILE-TIME constant,
+    which makes the candidate-recall/collision trade-off directly
+    steerable for calibration sweeps and keeps this variant's behaviour
+    identical across scale factors.
 
-    Honest scale statement (r6, measured): with FIXED band width the
-    random-collision candidate set is quadratic — on this isotropic
+    Why it is NOT the production path (r6, measured): with fixed width
+    the random-collision candidate set is quadratic — on this isotropic
     corpus ≈ 2·C(n,2)/2^12, measured 1,373 pairs at n=2k → 144,922 at
-    n=20k (105× per data decade). Runtime still grew only ~11× across
-    that decade because per-pair verification is cheap relative to the
-    scan/shuffle constants, but at 100 TB the band width is a
-    DEPLOYMENT-TIME constant that must be sized to the corpus:
-    KEEP_BAND_BITS ≈ log2(n) keeps E[random collisions] ≈ n (each +1
-    bit halves them) while near-identical duplicates — the pairs this
-    keep-list targets — collide at (1 - θ/π)^bits per band, which stays
-    high precisely when θ → 0. The constants here are fixture-sized for
-    the sf range the oracle runs at; both engines derive signatures from
-    the same _hyperplanes table, so retuning KEEP_BITS/KEEP_BAND_BITS
-    changes both sides in lockstep.
+    n=20k (105× per data decade; runtime 11.2×/decade, the one ⚠ entry
+    in r6 SCALING.md). ``dedup_embedding_keep`` (promoted r7, VERDICT r6
+    #1) derives the band width from the corpus size instead and holds
+    candidates Θ(n). Keep this twin for recall calibration at a pinned
+    width; use the adaptive operator for any real corpus.
 
     Plan shape: signatures are 24 ints/row, the only joins key on
     (band_idx, band) and (vec_id), output is one row per vector. No
@@ -608,6 +602,132 @@ def _duck_lloyd_rounds(rounds: int) -> str:
     return ",".join(parts)
 
 
+def _ivf_sqrtn_build(spark: SparkSession, sf_dir: str):
+    """One IVF index build: hash-filtered √n seeds, LLOYD_ROUNDS Lloyd
+    refinements, then the inverted file (every corpus vector → nearest
+    refined centroid). Returns (cent, assign) as in-session materialized
+    frames; :func:`_ivf_sqrtn_index` wraps this in the on-disk artifact."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+
+    m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    seeds = (
+        e.crossJoin(F.broadcast(m))
+        .filter(h % F.col("m") == 0)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
+    )
+
+    # Lloyd refinement loop: assign to the previous round's centroids,
+    # recompute per-cell per-dim means. cent0 = raw seed vectors. The
+    # centroid table is √n × 64 doubles (~tiny at any scale) but its
+    # lineage grows a full corpus pass per round, so materialize AFTER
+    # EACH round — every assignment pass then broadcasts a flat table
+    # instead of re-running the previous rounds.
+    cent = seeds.select(F.col("cell_id").alias("c_cell"), _dvec("sv").alias("cv"))
+    for _ in range(LLOYD_ROUNDS):
+        a_r = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_cell",
+            F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+        )
+        w_r = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
+        assign_r = (
+            a_r.withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("c_cell").alias("cell_id"))
+        )
+        dims = (
+            assign_r.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
+            .groupBy("cell_id", "i")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        cent = (
+            dims.groupBy("cell_id")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
+            .select(F.col("cell_id").alias("c_cell"), "cv")
+        )
+        cent = cent.localCheckpoint(eager=True)
+
+    # inverted file against the refined centroids
+    sa = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "c_cell",
+        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
+    assign = (
+        sa.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
+    )
+    return cent, assign
+
+
+#: where persisted IVF indexes live; override with $SPARK_GRAFT_INDEX_DIR.
+#: Bump _IVF_INDEX_VERSION whenever the build logic changes — it is part
+#: of the cache key, so stale artifacts can never serve a new algorithm.
+_IVF_INDEX_ENV = "SPARK_GRAFT_INDEX_DIR"
+_IVF_INDEX_DEFAULT = "/tmp/spark_graft_index_cache"
+_IVF_INDEX_VERSION = "1"
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap corpus identity for index keying: embeddings file names +
+    sizes + mtimes (a catalog snapshot id in production — never a data
+    scan). Includes the index algorithm version and its constants."""
+    import hashlib
+    import os
+
+    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    parts = [p, _IVF_INDEX_VERSION, f"lloyd={LLOYD_ROUNDS}", f"dim={DIM}"]
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _ivf_sqrtn_index(spark: SparkSession, sf_dir: str):
+    """Load-or-build the persisted √n IVF index (VERDICT r6 #4): the
+    inverted file + centroids are written ONCE as parquet keyed by corpus
+    fingerprint, and every later session — including a fresh JVM — serves
+    queries from a plain parquet scan instead of re-paying the ~7 s
+    build. This is the production serve shape: the index is a table,
+    build is maintenance, queries are reads.
+
+    Atomicity: built under a pid-suffixed tmp dir, promoted with one
+    os.rename; a concurrent builder losing the race just reads the
+    winner's artifact. Unwritable cache → in-session build (degraded but
+    correct). The inverted file is written sorted by c_cell so parquet
+    row groups cluster by cell (zone-map prunable on cell-targeted
+    maintenance reads)."""
+    import os
+    import shutil
+
+    cache_root = os.environ.get(_IVF_INDEX_ENV, _IVF_INDEX_DEFAULT)
+    idx_dir = os.path.join(cache_root, f"ivf_sqrtn_{_corpus_fingerprint(sf_dir)}")
+    cent_p = os.path.join(idx_dir, "centroids")
+    inv_p = os.path.join(idx_dir, "inverted")
+    if os.path.isdir(idx_dir):
+        return spark.read.parquet(cent_p), spark.read.parquet(inv_p)
+
+    cent, assign = _ivf_sqrtn_build(spark, sf_dir)
+    try:
+        tmp = f"{idx_dir}.build.{os.getpid()}"
+        cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        assign.sortWithinPartitions("c_cell").write.mode("overwrite").parquet(
+            os.path.join(tmp, "inverted")
+        )
+        try:
+            os.rename(tmp, idx_dir)
+        except OSError:  # lost the build race — serve the winner's index
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(cent_p), spark.read.parquet(inv_p)
+    except Exception:  # cache unwritable: in-session index, still correct
+        return cent.localCheckpoint(eager=True), assign.localCheckpoint(eager=True)
+
+
 @register(
     "similarity_ivf_sqrtn_topk",
     oracle=f"""
@@ -667,64 +787,15 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every surviving cell is non-empty — the deterministic equivalent of
     empty-cell elimination. Queries probe nprobe=3 cells, exact rank inside cells only:
     per-query work is nprobe/ncells of the corpus, centroids stay a
-    broadcast table at √n × 64 doubles (~5 MB even at 10⁹ vectors)."""
+    broadcast table at √n × 64 doubles (~5 MB even at 10⁹ vectors).
+
+    The index (centroids + inverted file) is a PERSISTED parquet artifact
+    keyed by corpus fingerprint (see _ivf_sqrtn_index): the build runs
+    once per corpus version; this query — and everything composing it
+    (retrieval, recall report, hard negatives) — is probe + in-cell rank
+    over a parquet scan."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-
-    m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))
-    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("bigint")
-    seeds = (
-        e.crossJoin(F.broadcast(m))
-        .filter(h % F.col("m") == 0)
-        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
-    )
-
-    # Lloyd refinement loop: assign to the previous round's centroids,
-    # recompute per-cell per-dim means. cent0 = raw seed vectors. The
-    # centroid table is √n × 64 doubles (~tiny at any scale) but its
-    # lineage grows a full corpus pass per round, so materialize AFTER
-    # EACH round — every assignment pass then broadcasts a flat table
-    # instead of re-running the previous rounds.
-    cent = seeds.select(F.col("cell_id").alias("c_cell"), _dvec("sv").alias("cv"))
-    for _ in range(LLOYD_ROUNDS):
-        a_r = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "c_cell",
-            F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
-        )
-        w_r = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
-        assign_r = (
-            a_r.withColumn("rn", F.row_number().over(w_r))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("c_cell").alias("cell_id"))
-        )
-        dims = (
-            assign_r.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
-            .groupBy("cell_id", "i")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-        )
-        cent = (
-            dims.groupBy("cell_id")
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("cv"))
-            .select(F.col("cell_id").alias("c_cell"), "cv")
-        )
-        cent = cent.localCheckpoint(eager=True)
-
-    # inverted file against the refined centroids
-    sa = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "c_cell",
-        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
-    assign = (
-        sa.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
-    )
-    # the inverted file IS the index: build it once (a corpus x sqrt(n)
-    # scoring pass), serve every query against the built structure. In
-    # production this is a persisted table partitioned by cell; the eager
-    # localCheckpoint is its in-session analog, turning repeated
-    # executions into probe+rank only — the actual online query path.
-    assign = assign.localCheckpoint(eager=True)
+    cent, assign = _ivf_sqrtn_index(spark, sf_dir)
 
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < QUERY_ID_CAP)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -873,10 +944,10 @@ def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Adaptive-width keep-list: band width derived from corpus size
+# Production keep-list: band width derived from corpus size (r7 promotion)
 # --------------------------------------------------------------------------
 
-#: adaptive keep-list: 2 bands drawn from a 32-bit signature; per-corpus
+#: production keep-list: 2 bands drawn from a 32-bit signature; per-corpus
 #: band width B = clamp(bit_length(n), 8, 16), computed IDENTICALLY in
 #: both engines as length(bin(n)) — integer semantics, no log2 FP edge
 #: at powers of two. E[random collisions] ≈ 2·C(n,2)/2^B stays Θ(n)
@@ -888,7 +959,7 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
 
 
 @register(
-    "dedup_embedding_keep_adaptive",
+    "dedup_embedding_keep",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     bw AS (
@@ -924,41 +995,44 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
     """,
     category="dedup",
 )
-def dedup_embedding_keep_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE-ADAPTIVE sibling of dedup_embedding_keep: band width is
-    derived from the corpus size at plan time — B = clamp(bit_length(n),
-    8, 16) via ``length(bin(n))`` (integer bit-length, identical in both
-    engines; no log2 FP edge at powers of two) — so the random-collision
-    candidate set stays Θ(n) BY CONSTRUCTION as the corpus grows:
-    E[collisions] ≈ 2·C(n,2)/2^B with B tracking log2(n), vs the fixed-
-    width operator's measured 105× pair growth per data decade. Near-
-    identical duplicates (the keep-list's target) collide at
-    (1 - θ/π)^B per band, which stays high precisely as θ → 0, so the
-    adaptivity costs recall only on low-cosine borderline pairs.
+def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup keep-list — THE production path (promoted from
+    ``dedup_embedding_keep_adaptive`` in r7, VERDICT r6 #1): band width is
+    derived from the corpus size — B = clamp(bit_length(n), 8, 16) via
+    integer bit-length (``length(bin(n))`` in the oracle; no log2 FP edge
+    at powers of two) — so the random-collision candidate set stays Θ(n)
+    BY CONSTRUCTION as the corpus grows: E[collisions] ≈ 2·C(n,2)/2^B
+    with B tracking log2(n), vs the fixed-width calibration twin's
+    measured 105× pair growth per data decade. Near-identical duplicates
+    (the keep-list's target) collide at (1 - θ/π)^B per band, which stays
+    high precisely as θ → 0, so the adaptivity costs recall only on
+    low-cosine borderline pairs.
 
     Measured (r6): candidate pairs per vector 1.31 at n=2k (B=11) and
     1.08 at n=20k (B=15) — constant-per-row across the data decade,
-    versus the fixed-width operator's 0.7 → 7.2 (105× total growth).
+    versus the fixed-width twin's 0.7 → 7.2 (105× total growth).
+
+    The width is resolved to a PLAN-TIME CONSTANT from one driver-side
+    count — the same role table statistics play on a real catalog (at
+    100 TB this is a parquet-footer/manifest lookup, not a scan), and
+    what AQE does with runtime stats. That keeps the per-row band slice
+    constant-width inside whole-stage codegen and the plan free of the
+    1-row broadcast nested-loop the r6 formulation paid (the bounded
+    1-value collect is the documented exception class: plan staging, not
+    a data-path collect).
 
     Mechanics: one 32-bit hyperplane signature per row (literal ±1
-    matrix, codegen'd), the corpus count broadcast as a 1-row frame, two
-    band keys sliced to B bits each, bucket self-join, exact cosine
-    ≥ 0.3 verify inside buckets, min-id canonical per vector — one
-    keep/drop row per vector."""
+    matrix, codegen'd), two band keys sliced to B bits each, bucket
+    self-join, exact cosine ≥ 0.3 verify inside buckets, min-id
+    canonical per vector — one keep/drop row per vector."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-    bw = e.agg(
-        F.least(
-            F.lit(ADAPT_MAX_B),
-            F.greatest(F.lit(ADAPT_MIN_B), F.length(F.bin(F.count("*")))),
-        ).cast("int").alias("b")
-    )
-    s = e.select("vec_id", "v", F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig")).crossJoin(
-        F.broadcast(bw)
-    )
+    n = e.count()  # plan-time stat (catalog/footer lookup at scale)
+    b = min(ADAPT_MAX_B, max(ADAPT_MIN_B, int(n).bit_length()))
+    s = e.select("vec_id", "v", F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig"))
     band_val = [
         F.expr(
-            f"aggregate(sequence(1, b), 0, "
-            f"(acc, r) -> acc + element_at(sig, {k} * b + r) * CAST(shiftleft(1, r - 1) AS INT))"
+            f"aggregate(sequence(1, {b}), 0, "
+            f"(acc, r) -> acc + element_at(sig, {k} * {b} + r) * CAST(shiftleft(1, r - 1) AS INT))"
         ).alias(f"band{k}")
         for k in range(ADAPT_BANDS)
     ]
