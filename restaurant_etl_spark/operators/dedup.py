@@ -247,16 +247,42 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard near-dup (ground truth for the LSH variants)
 # --------------------------------------------------------------------------
 
+#: Oracle fragment mirroring _candidate_common_counts BY CONSTRUCTION
+#: (ADVICE r6 #2): candidates must share >= 1 below-DF-cap shingle —
+#: exactly the Spark path's candidate semantics — then common counts are
+#: exact over the UNCAPPED shingle table. Assumes a CTE ``sh(doc_id,
+#: shingle)`` is in scope; yields CTEs ``rare``/``cand``/``com(doc_a,
+#: doc_b, c)``. Every shingle-pair oracle composes this so a doc made
+#: entirely of above-cap boilerplate is excluded in BOTH engines, not
+#: just Spark.
+_CAPPED_COM_SQL = f"""
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (SELECT shingle FROM rare)) a
+        JOIN (SELECT doc_id, shingle FROM sh
+              WHERE shingle IN (SELECT shingle FROM rare)) b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    com AS (
+        SELECT cand.doc_a, cand.doc_b, count(*) AS c
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.doc_a
+        JOIN sh y ON y.doc_id = cand.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    )"""
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    com AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    {_CAPPED_COM_SQL}
     SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
     FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
     WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
@@ -266,8 +292,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via a DF-capped
     inverted-index self-join — no quadratic all-pairs comparison, and no
-    hot-shingle posting-list explosion (see _exact_jaccard_pairs for the
-    equivalence bound)."""
+    hot-shingle posting-list explosion. The oracle encodes the SAME
+    DF-capped candidate generation (_CAPPED_COM_SQL), so both engines
+    share candidate semantics by construction rather than by the
+    equivalence-bound argument alone (ADVICE r6 #2)."""
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
     return _exact_jaccard_pairs(exploded_shingles(sa), JACCARD_THRESHOLD)
 
@@ -964,11 +992,7 @@ MIN_CONTAIN_SHINGLES = 5
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    com AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    {_CAPPED_COM_SQL},
     directed AS (
         SELECT doc_a AS contained_doc, doc_b AS container_doc, c,
                x.n AS n_contained
@@ -999,11 +1023,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the exact-Jaccard path — DF-capped
     inverted-index candidate generation (no all-pairs, no hot-shingle
-    posting-list explosion; see _exact_jaccard_pairs for the equivalence
-    bound), common-shingle counts computed once per unordered pair
-    against the uncapped table, then the two directed rows derive from
-    the same count by dividing by each side's size. One extra projection
-    over dedup_ngram_jaccard's plan — no extra join or shuffle."""
+    posting-list explosion), common-shingle counts computed once per
+    unordered pair against the uncapped table, then the two directed
+    rows derive from the same count by dividing by each side's size. One
+    extra projection over dedup_ngram_jaccard's plan — no extra join or
+    shuffle. The oracle encodes the SAME capped candidate generation
+    (_CAPPED_COM_SQL): for containment the Jaccard equivalence-bound
+    argument is genuinely weaker (a 5-shingle doc of pure boilerplate
+    contained in a bigger doc would otherwise appear oracle-side only),
+    so candidate semantics are shared by construction (ADVICE r6 #2)."""
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
     sh = exploded_shingles(sa)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1173,11 +1201,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    com AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    {_CAPPED_COM_SQL},
     pairs AS (
         SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
         FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
