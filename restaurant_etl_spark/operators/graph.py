@@ -13,6 +13,8 @@ re-computation fan-out).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,8 +95,23 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     different engines, so a rank landing exactly on a rounding boundary
     — or a near-tie at rank 20 — could in principle flip a row between
     Spark and the oracle at some scale factor. Hash-matched at
-    sf0.001/0.01/0.1 today; treat a mismatch here as FP drift first,
-    logic bug second."""
+    sf0.001/0.01/0.1 today, and the class is now GUARDED, not just
+    documented (VERDICT r6 #5): :func:`pagerank_rank_margins` measures
+    the unrounded rank-20/21 gap and every top rank's distance from the
+    nearest 4-dp half-boundary; ``tests/test_warehouse_graph.py``
+    (and the scale-sweep replica log) fail if either margin ever drops
+    within FP slack. Treat a mismatch here as FP drift first, logic bug
+    second."""
+    scored = _scaled_ranks(spark, sf_dir).select(
+        "l_partkey", F.round(F.col("rank_raw"), 4).alias("rank_scaled")
+    )
+    return scored.orderBy(F.desc("rank_scaled"), "l_partkey").limit(TOP_K)
+
+
+def _scaled_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, rank_raw): UNROUNDED scaled PageRank for every node —
+    shared by the registered query (rounds to 4 dp) and the FP-margin
+    guard (which must see the raw doubles)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -140,8 +157,42 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(DAMPING) * F.col("contrib")
             ).alias("r"),
         )
-    scored = ranks.crossJoin(F.broadcast(nn)).select(
+    return ranks.crossJoin(F.broadcast(nn)).select(
         F.col("pk").alias("l_partkey"),
-        F.round(F.col("r") * F.col("n"), 4).alias("rank_scaled"),
+        (F.col("r") * F.col("n")).alias("rank_raw"),
     )
-    return scored.orderBy(F.desc("rank_scaled"), "l_partkey").limit(TOP_K)
+
+
+#: FP slack for the margin guard, in 4-dp grid units (1 unit = 1e-4 of
+#: rank_scaled). Accumulated double-sum error after N_ITER iterations is
+#: ~1e-12 relative → ~1e-7 grid units at rank ≈ O(1-10); 1e-3 gives four
+#: orders of magnitude of headroom while still catching any genuinely
+#: boundary-sitting value.
+MARGIN_SLACK_GRID = 1e-3
+
+
+def pagerank_rank_margins(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> dict:
+    """Measure how far graph_pagerank_parts sits from its two FP cliffs
+    (VERDICT r6 #5): (a) ``cutoff_gap_grid`` — the unrounded gap between
+    rank top_k and top_k+1 in 4-dp grid units (a gap inside FP slack
+    means engine-dependent ordering could swap row 20/21); (b)
+    ``min_half_dist_grid`` — the minimum distance of any top_k+1 value
+    from the nearest .xxxx5 rounding half-boundary (a value ON the
+    boundary rounds differently under Spark's HALF_UP vs DuckDB's
+    scaled-nearbyint). Driver-side work is top_k+1 rows."""
+    top = (
+        _scaled_ranks(spark, sf_dir)
+        .orderBy(F.desc("rank_raw"), "l_partkey")
+        .limit(top_k + 1)
+        .collect()
+    )
+    grid = [r.rank_raw * 1e4 for r in top]
+    cutoff_gap = grid[top_k - 1] - grid[top_k] if len(grid) > top_k else float("inf")
+    half_dists = [abs(g - math.floor(g) - 0.5) for g in grid]
+    return {
+        "cutoff_gap_grid": cutoff_gap,
+        "min_half_dist_grid": min(half_dists),
+        "slack_grid": MARGIN_SLACK_GRID,
+        "ok": cutoff_gap > MARGIN_SLACK_GRID
+        and min(half_dists) > MARGIN_SLACK_GRID,
+    }

@@ -34,6 +34,13 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or cpus
+    # mount the vendored protobuf bridge (no-op when a real protobuf is
+    # installed) BEFORE the JVM starts: transformWithStateInPandas's state
+    # protocol needs google.protobuf inside the forked Python WORKERS,
+    # which inherit $PYTHONPATH from the JVM environment at launch
+    from restaurant_etl_spark._vendor.protobuf_shim import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -270,10 +270,13 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     single GroupState blob.
 
     Environment note: the transformWithState protocol requires the
-    ``protobuf`` python package (not installed in this sandbox — no
-    network), so the restart test for this twin auto-skips here and runs
-    in any real deployment; applyInPandasWithState's twin carries the
-    in-sandbox coverage."""
+    ``protobuf`` python package. It is not pip-installed in this sandbox,
+    so ``_vendor/protobuf_shim.py`` mounts an on-disk pure-python runtime
+    (session factory calls it before the JVM starts so workers inherit
+    it) — the restart test for this twin runs for real here (r7; it
+    previously had to skip). On a machine with neither a real protobuf
+    nor a mountable runtime the test skips and
+    applyInPandasWithState's twin carries the coverage."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -6,6 +6,13 @@ and an order-insensitive value hash (columns sorted by name, rows stringified
 and sorted). Exit code 1 if anything mismatches.
 
 Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
+        python scripts/check_oracle.py [sf_dir] --pagerank-margins [query ...]
+
+``--pagerank-margins`` additionally runs the PageRank FP-margin guard
+(graph.pagerank_rank_margins) at the given sf_dir and fails the run if
+the rank-20/21 gap or any top rank's distance from a 4-dp rounding
+half-boundary falls inside FP slack — the scale-sweep arm of
+tests/test_warehouse_graph.py::test_pagerank_margins_clear_fp_slack.
 """
 
 from __future__ import annotations
@@ -49,8 +56,10 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], str, in
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--pagerank-margins"]
+    check_margins = "--pagerank-margins" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -112,6 +121,19 @@ def main() -> int:
         else:
             passed += 1
             print(f"ok    {name}: {s_n} rows hash={s_hash}  ({time.time()-t0:.1f}s)")
+
+    if check_margins:
+        from restaurant_etl_spark.operators.graph import pagerank_rank_margins
+
+        m = pagerank_rank_margins(spark, sf_dir)
+        status = "ok   " if m["ok"] else "FAIL "
+        print(
+            f"{status} pagerank_margins: cutoff_gap={m['cutoff_gap_grid']:.6f} "
+            f"min_half_dist={m['min_half_dist_grid']:.6f} "
+            f"(slack {m['slack_grid']}) grid units"
+        )
+        if not m["ok"]:
+            failures.append(("pagerank_margins", str(m)))
 
     print(f"\n{passed} passed, {len(failures)} failed, {rows_only} rows-only")
     return 1 if failures else 0

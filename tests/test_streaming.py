@@ -407,12 +407,16 @@ def test_transform_with_state_totals_across_restarts(spark, sf_dir, tmp_path):
     totals equal the full batch aggregate — the same contract
     running_user_totals proves for applyInPandasWithState.
 
-    The API's state protocol needs the protobuf python package, which is
-    not installed in this sandbox — the test runs wherever protobuf
-    exists (any real deployment) and skips here; the
-    applyInPandasWithState twin provides the fully-in-sandbox coverage
-    of the same contract."""
-    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    The API's state protocol needs the protobuf python package (not pip-
+    installed in this sandbox): _vendor.protobuf_shim mounts an on-disk
+    pure-python runtime when available (session factory does this before
+    the JVM starts so workers inherit it); on a machine with neither a
+    real protobuf nor a mountable runtime this skips and the
+    applyInPandasWithState twin provides coverage of the same contract."""
+    from restaurant_etl_spark._vendor.protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("transformWithState needs protobuf (no runtime on disk)")
     from restaurant_etl_spark.streaming.jobs import running_user_totals_tws
 
     key = "spark.sql.streaming.stateStore.providerClass"

@@ -90,6 +90,21 @@ def test_pagerank_topk_shape_and_positivity(spark, sf_dir):
     assert scores[0] >= 1.0
 
 
+def test_pagerank_margins_clear_fp_slack(spark, sf_dir):
+    """The rank-20/21 cutoff gap and every top rank's distance from the
+    nearest 4-dp rounding half-boundary must clear MARGIN_SLACK_GRID
+    (VERDICT r6 #5): if either margin ever collapses at some scale
+    factor, the oracle hash-match would be at the mercy of the engines'
+    FP summation order — this test fails FIRST, naming the cliff. The
+    scale-sweep replica runs the same guard at sf0.01/sf0.1/sf1
+    (scripts/check_oracle.py --pagerank-margins)."""
+    from restaurant_etl_spark.operators.graph import pagerank_rank_margins
+
+    m = pagerank_rank_margins(spark, sf_dir)
+    assert m["cutoff_gap_grid"] > m["slack_grid"], m
+    assert m["min_half_dist_grid"] > m["slack_grid"], m
+
+
 def test_pagerank_mass_conserved(spark, sf_dir):
     """Total rank mass is conserved by the power iteration: with a
     symmetric graph (no dangling nodes) the ranks sum to 1, so scaled
