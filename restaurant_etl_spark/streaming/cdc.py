@@ -169,6 +169,53 @@ def merge_apply(
     return True
 
 
+def compact_target_zorder(spark: SparkSession, target_dir: str, n_files: int = 16) -> str:
+    """Z-order compaction of the CDC target — the maintenance half of the
+    lakehouse loop (VERDICT r6 #6: merge → fragment → recluster). Each
+    streaming MERGE batch writes its version through a hash shuffle on
+    the merge key, so every output file spans the whole keyspace and
+    zone-map skipping degrades to ~zero. This job rewrites the CURRENT
+    version clustered by the Morton interleave of (o_orderkey,
+    o_totalprice) — both min-max-normalized to 16 bits so the interleave
+    stays balanced — via range partitioning + in-partition sort, then
+    publishes it with the same atomic ledger swap a merge uses. Rows are
+    bit-identical; only physical layout changes, and the applied-batch
+    high-watermark is untouched (a redelivered batch still skips).
+
+    Returns the new version name. tests/test_streaming_cdc.py measures
+    parquet row-group skip fractions before/after and asserts the
+    clustered numbers recover on BOTH interleaved dimensions."""
+    from restaurant_etl_spark.operators.layout import _interleave_sql
+
+    ledger = read_ledger(target_dir)
+    if ledger["current"] is None:
+        raise ValueError(f"nothing to compact in {target_dir}")
+    cur = read_target(spark, target_dir)
+    mx = cur.agg(
+        F.max("o_orderkey").alias("k"),
+        F.max(F.ceil("o_totalprice")).cast("bigint").alias("p"),
+    ).first()
+    k_max, p_max = max(int(mx[0] or 1), 1), max(int(mx[1] or 1), 1)
+    zval = F.expr(
+        _interleave_sql(
+            f"(o_orderkey * 65535 DIV {k_max})",
+            f"(greatest(CAST(o_totalprice AS BIGINT), 0) * 65535 DIV {p_max})",
+        )
+    )
+    version = ledger["current"] + "_compact"
+    (
+        cur.withColumn("_z", zval)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(os.path.join(target_dir, version))
+    )
+    ledger["current"] = version
+    _write_ledger(target_dir, ledger)
+    return version
+
+
 def cdc_apply_sink(changes_stream: DataFrame, target_dir: str, checkpoint_dir: str):
     """writeStream wiring: MERGE every micro-batch into ``target_dir`` via
     the idempotent ledger. Returns the started StreamingQuery (availableNow

@@ -89,6 +89,81 @@ def test_merge_apply_skips_duplicate_batch_id(spark, tmp_path):
     assert read_ledger(tgt)["hwm"] == 1
 
 
+def test_compaction_recovers_zonemap_skipping_after_merges(spark, tmp_path):
+    """The full lakehouse maintenance loop (VERDICT r6 #6): N streaming
+    merge batches write the target through hash shuffles (every file
+    spans the whole keyspace — zone maps useless), then the Z-order
+    compaction job rewrites the current version and row-group skip
+    fractions on BOTH interleaved dimensions recover to the clustered
+    numbers of test_layout.py's physical rewrite (> 0.5) — with content
+    bit-identical and the applied-batch watermark untouched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from restaurant_etl_spark.streaming.cdc import compact_target_zorder
+
+    tgt = str(tmp_path / "tgt")
+    n = 4000
+    # batch 0 bulk-inserts; batches 1-3 update disjoint key slices — each
+    # merge re-shuffles the whole target on the key
+    rows0 = [("insert", k, "I", float(k % 997) + 1.0) for k in range(1, n + 1)]
+    assert merge_apply(spark, tgt, _changes(spark, rows0), 0)
+    for b in range(1, 4):
+        upd = [("update", k, f"U{b}", float((k * 7) % 997) + 1.0)
+               for k in range(b, n + 1, 3)]
+        assert merge_apply(spark, tgt, _changes(spark, upd), b)
+
+    before = {
+        r.o_orderkey: (r.o_orderstatus, round(r.o_totalprice, 2))
+        for r in read_target(spark, tgt).collect()
+    }
+    hwm_before = read_ledger(tgt)["hwm"]
+
+    def skip_fraction(version_dir: str, col: str, hi: float) -> float:
+        """fraction of rows in row groups a `col <= hi` probe skips
+        (min > hi), from real parquet row-group statistics"""
+        total = skipped = 0
+        for fn in os.listdir(version_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(version_dir, fn)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = rg.column(names[col]).statistics
+                assert st is not None and st.has_min_max
+                total += rg.num_rows
+                if st.min > hi:
+                    skipped += rg.num_rows
+        assert total == len(before)
+        return skipped / total
+
+    cur = os.path.join(tgt, read_ledger(tgt)["current"])
+    key_hi, price_hi = n / 8, 997 / 8  # lowest-eighth probes on both dims
+    frag_key = skip_fraction(cur, "o_orderkey", key_hi)
+    frag_price = skip_fraction(cur, "o_totalprice", price_hi)
+    assert frag_key < 0.05, f"merge output unexpectedly clustered: {frag_key}"
+    assert frag_price < 0.05, f"merge output unexpectedly clustered: {frag_price}"
+
+    compact_target_zorder(spark, tgt)
+
+    cur2 = os.path.join(tgt, read_ledger(tgt)["current"])
+    z_key = skip_fraction(cur2, "o_orderkey", key_hi)
+    z_price = skip_fraction(cur2, "o_totalprice", price_hi)
+    assert z_key > 0.5, f"compacted keydim skip {z_key}"
+    assert z_price > 0.5, f"compacted pricedim skip {z_price}"
+
+    after = {
+        r.o_orderkey: (r.o_orderstatus, round(r.o_totalprice, 2))
+        for r in read_target(spark, tgt).collect()
+    }
+    assert after == before, "compaction changed table content"
+    assert read_ledger(tgt)["hwm"] == hwm_before
+    # redelivery of the last batch is still skipped post-compaction
+    assert merge_apply(spark, tgt, _changes(spark, [("insert", 1, "X", 1.0)]), 3) is False
+
+
 def test_ledger_legacy_list_format_upgrades(tmp_path):
     """Pre-r7 ledgers stored the applied ids as a list; read_ledger must
     upgrade them to the high-watermark form so existing targets resume."""
