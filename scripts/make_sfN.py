@@ -18,8 +18,26 @@ Per-copy transforms (copy k = 0 is the identity):
     vector and its rotated copy is ≈0 on this corpus, so ANN/dedup
     neighborhoods keep their source-scale structure.
 
+``--skew`` (round-7, VERDICT r6 #3) switches synthesis from uniform to a
+deliberately HOSTILE distribution so AQE skew handling and the dedup
+family's linear-growth claim are stressed, not assumed:
+
+  * power-law duplicate clusters: copy k of a document keeps the ORIGINAL
+    text (exact duplicate of copy 0) instead of the per-copy suffix when
+    doc_id % 128 == 0 (all copies → cluster size = mult), % 32 == 0
+    (copies < 5), % 8 == 0 (copies < 2) — few huge clusters, some medium,
+    many small, the web-crawl shape. All selectors are invariant under the
+    key offsets (offsets are multiples of 128).
+  * one hot source: 75% of documents (doc_id % 4 != 3) report
+    source='src-hot' — the overlap matrix and per-source aggregations see
+    one dominant feed.
+  * one hot join key: 20% of orders (o_orderkey % 5 == 0) belong to ONE
+    customer, and 20% of events (event_id % 5 == 0) to that same user —
+    the customer⋈orders / user-keyed shuffles get a partition ~n/5 deep
+    unless AQE splits it.
+
 Usage: python scripts/make_sfN.py [--mult 10] [--src /root/testdata/sf0.1]
-       [--dst /tmp/spark_graft_sf1]
+       [--dst /tmp/spark_graft_sf1] [--skew]
 """
 
 from __future__ import annotations
@@ -64,25 +82,63 @@ def _shift_keys(tbl: pa.Table, offsets: dict[str, int], k: int) -> pa.Table:
     return tbl
 
 
-def _copy_documents(tbl: pa.Table, k: int) -> pa.Table:
-    if k == 0:
-        return tbl
-    suffix = f"-c{k}"
-    texts = [
-        " ".join(tok + suffix for tok in (t or "").split())
-        for t in tbl.column("text").to_pylist()
-    ]
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("text"),
-        tbl.schema.field("text"),
-        pa.array(texts, tbl.schema.field("text").type),
+def _dup_cluster_keep(doc_id: int, k: int) -> bool:
+    """Skew mode: does copy ``k`` of ``doc_id`` stay an exact duplicate of
+    copy 0? Power-law cluster sizes (see module docstring)."""
+    if doc_id % 128 == 0:
+        return True
+    if doc_id % 32 == 0:
+        return k < 5
+    if doc_id % 8 == 0:
+        return k < 2
+    return False
+
+
+def _copy_documents(tbl: pa.Table, k: int, skew: bool = False) -> pa.Table:
+    doc_ids = tbl.column("doc_id").to_pylist() if skew else None
+    if k > 0:
+        suffix = f"-c{k}"
+        texts = []
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            if skew and _dup_cluster_keep(doc_ids[i], k):
+                texts.append(t or "")
+            else:
+                texts.append(" ".join(tok + suffix for tok in (t or "").split()))
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("text"),
+            tbl.schema.field("text"),
+            pa.array(texts, tbl.schema.field("text").type),
+        )
+        n_chars = pa.array(
+            [len(t) for t in texts], tbl.schema.field("n_chars").type
+        )
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("n_chars"), tbl.schema.field("n_chars"), n_chars
+        )
+    if skew:
+        # one hot feed: 75% of every copy's documents come from 'src-hot'
+        src = tbl.column("source").to_pylist()
+        hot = [
+            "src-hot" if d % 4 != 3 else s for d, s in zip(doc_ids, src)
+        ]
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("source"),
+            tbl.schema.field("source"),
+            pa.array(hot, tbl.schema.field("source").type),
+        )
+    return tbl
+
+
+def _skew_hot_key(tbl: pa.Table, sel_col: str, key_col: str, hot_key: int) -> pa.Table:
+    """Route every row with ``sel_col % 5 == 0`` to ``hot_key`` — one key
+    owning ~20% of the table in every copy."""
+    sel = pa.array(
+        tbl.column(sel_col).to_numpy(zero_copy_only=False) % 5 == 0
     )
-    n_chars = pa.array(
-        [len(t) for t in texts], tbl.schema.field("n_chars").type
-    )
-    return tbl.set_column(
-        tbl.schema.get_field_index("n_chars"), tbl.schema.field("n_chars"), n_chars
-    )
+    idx = tbl.schema.get_field_index(key_col)
+    field = tbl.schema.field(key_col)
+    hot = pc.if_else(sel, pa.scalar(hot_key, field.type), tbl.column(key_col))
+    return tbl.set_column(idx, field, hot)
 
 
 def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
@@ -99,21 +155,30 @@ def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     )
 
 
-def make_scale_point(src: str, dst: str, mult: int) -> None:
+def make_scale_point(src: str, dst: str, mult: int, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     for name in COPY_AS_IS:
         pq.write_table(pq.read_table(os.path.join(src, f"{name}.parquet")),
                        os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: copied as-is")
+    hot_cust = None
+    if skew:
+        cust = pq.read_table(os.path.join(src, "customer.parquet"))
+        hot_cust = pc.min(cust.column("c_custkey")).as_py()
+        print(f"skew mode: hot customer/user key = {hot_cust}")
     for name, offsets in KEY_OFFSETS.items():
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         copies = []
         for k in range(mult):
             t = _shift_keys(base, offsets, k)
             if name == "documents":
-                t = _copy_documents(t, k)
+                t = _copy_documents(t, k, skew=skew)
             elif name == "embeddings":
                 t = _copy_embeddings(t, k)
+            elif skew and name == "orders":
+                t = _skew_hot_key(t, "o_orderkey", "o_custkey", hot_cust)
+            elif skew and name == "events":
+                t = _skew_hot_key(t, "event_id", "user_id", hot_cust)
             copies.append(t)
         out = pa.concat_tables(copies)
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
@@ -125,8 +190,11 @@ def main() -> int:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--skew", action="store_true",
+                    help="hostile distribution: power-law dup clusters, "
+                         "hot source, hot join key (see module docstring)")
     args = ap.parse_args()
-    make_scale_point(args.src, args.dst, args.mult)
+    make_scale_point(args.src, args.dst, args.mult, skew=args.skew)
     return 0
 
 
