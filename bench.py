@@ -194,6 +194,7 @@ def main() -> int:
     # capture: headline metric + the full per-query steady-median map.
     compact = {
         "metric": "headline_total",
+        "spark_version": spark.version,
         "value": total,
         "unit": "sec",
         "mode": "steady_state_plan_reuse",
