@@ -137,6 +137,22 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+#: microseconds per unit for the horizon strings this module accepts
+_INTERVAL_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+}
+
+
+def _interval_micros(horizon: str) -> int:
+    qty, unit = horizon.split()
+    return int(qty) * _INTERVAL_UNIT_US[unit]
+
+
 def view_purchase_interval_join(
     views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
 ) -> DataFrame:
@@ -145,23 +161,40 @@ def view_purchase_interval_join(
     Both sides carry watermarks so the join state (buffered unmatched rows)
     is evicted once the watermark passes the time bound — state is O(rows
     within the horizon), not O(stream). Inner-join rows emit eagerly, so an
-    availableNow drain in append mode yields the complete pair set."""
+    availableNow drain in append mode yields the complete pair set.
+
+    Skew immunity: the equi-key is (user_id, time_bucket), not user_id
+    alone. With bucket width = horizon, a purchase can only match views in
+    its own bucket or the previous one, so the view side emits both bucket
+    ids (a 2× stateless fan-out) and the range predicate stays as a
+    residual. Under a hot user owning a constant fraction of the stream, a
+    bare user_id key makes every view×purchase pair of that user a join
+    candidate — O(n²) probes for O(n·density·horizon) output; the bucket
+    key bounds candidates to adjacent-bucket pairs, restoring output-
+    proportional work (measured 89× → linear on the skewed decade,
+    SCALING.md). Each qualifying pair still matches exactly once because
+    the purchase's bucket is a single value."""
+    bucket_us = _interval_micros(horizon)
+    v_bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(bucket_us))
     v = views.withWatermark("ts", WATERMARK).select(
         F.col("event_id").alias("view_id"),
         "user_id",
         F.col("ts").alias("view_ts"),
+        F.explode(F.array(v_bucket, v_bucket + F.lit(1))).alias("t_bucket"),
     )
     p = purchases.withWatermark("ts", WATERMARK).select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("p_value"),
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(bucket_us)).alias("p_bucket"),
     )
     joined = v.join(
         p,
         F.expr(
             f"""
             user_id = p_user_id AND
+            t_bucket = p_bucket AND
             purchase_ts >= view_ts AND
             purchase_ts <= view_ts + interval {horizon}
             """
