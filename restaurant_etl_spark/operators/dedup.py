@@ -933,17 +933,22 @@ def _registered_oracle(name: str) -> str:
 @register(
     "dedup_minhash_recall_report",
     oracle=f"""
-    WITH exact_pairs AS ({_registered_oracle("dedup_ngram_jaccard")}),
-    lsh_pairs AS ({_registered_oracle("dedup_minhash_lsh")})
+    -- MATERIALIZED + count-once structure: each pair CTE is expensive
+    -- (exact shingle self-join) and referenced repeatedly; letting the
+    -- optimizer inline them re-evaluates the join per reference, which
+    -- at sf1 multiplied DuckDB's spill past the disk. Values unchanged.
+    WITH exact_pairs AS MATERIALIZED ({_registered_oracle("dedup_ngram_jaccard")}),
+    lsh_pairs AS MATERIALIZED ({_registered_oracle("dedup_minhash_lsh")}),
+    ne AS (SELECT count(*) AS c FROM exact_pairs),
+    nl AS (SELECT count(*) AS c FROM lsh_pairs),
+    hits AS (SELECT count(*) AS c FROM lsh_pairs l
+             JOIN exact_pairs e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
     SELECT
-        CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
-        CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
-        round((SELECT count(*) FROM lsh_pairs l
-               JOIN exact_pairs e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
-              * 1.0 / greatest((SELECT count(*) FROM exact_pairs), 1), 4) AS recall,
-        round((SELECT count(*) FROM lsh_pairs l
-               JOIN exact_pairs e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
-              * 1.0 / greatest((SELECT count(*) FROM lsh_pairs), 1), 4) AS precision
+        CAST(ne.c AS BIGINT) AS n_exact,
+        CAST(nl.c AS BIGINT) AS n_lsh,
+        round(hits.c * 1.0 / greatest(ne.c, 1), 4) AS recall,
+        round(hits.c * 1.0 / greatest(nl.c, 1), 4) AS precision
+    FROM ne, nl, hits
     """,
     category="dedup",
 )
