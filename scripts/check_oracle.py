@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# per-line results must survive a crash when stdout is a redirected file
+# (block buffering otherwise holds hours of progress in memory)
+sys.stdout.reconfigure(line_buffering=True)
+
 import duckdb
 
 import __spark_entry__ as entrymod
