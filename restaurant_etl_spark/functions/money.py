@@ -1,0 +1,76 @@
+"""Exact-grid money arithmetic for scale-stable aggregate parity.
+
+Why this exists: summing DOUBLE money expressions accumulates binary FP
+error that grows with row count. At sf0.1 every ``round(sum(price *
+(1 - discount)), 2)`` agreed between Spark and DuckDB; at sf1 (~6M
+lineitem rows, group sums ~10^8) the accumulated drift crossed a cent
+boundary and two TPC-H queries hash-mismatched by exactly 0.01
+(ORACLE_SF1_r07.log: q7 58489176.1 vs .09, q9 195641485.2 vs .21).
+No summation order fixes this — the terms themselves are not exactly
+representable in binary.
+
+The fix: do the arithmetic on the DECIMAL grid the data actually lives
+on (prices are 2-dec, discount/tax rates 2-dec, so disc_price is an
+exact 4-dec value and charge an exact 6-dec value), sum exactly, round
+on the exact value, and only then cast to DOUBLE so result schemas stay
+DoubleType. Both engines compute the identical rational number, so the
+rounded double is bit-identical at every scale factor by construction,
+not by luck. ``sql_*`` mirrors each Spark expression for the DuckDB
+oracles.
+
+Casting a DOUBLE like ``1 - 0.07 = 0.9299999...`` to DECIMAL(4,2)
+rounds to the nearest grid point (0.93) identically in both engines —
+safe whenever the true value IS a grid point, which holds for every
+column here. Ratio queries (q8, q14) divide the two exact sums as
+doubles: identical numerator and denominator bits give an identical
+quotient, removing the input-drift half of their boundary risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 2-dec money column, |value| < 10^12 — sums get +10 precision headroom
+#: from Spark's sum(DECIMAL(p,s)) -> DECIMAL(p+10,s) without nearing 38
+PRICE_DEC = "decimal(14,2)"
+#: (1 ± 2-dec rate) factors and other small 2-dec scalars
+FRAC_DEC = "decimal(4,2)"
+#: quantities (integral in the data; 2-dec headroom costs nothing)
+QTY_DEC = "decimal(8,2)"
+
+
+def money(col: str) -> Column:
+    return F.col(col).cast(PRICE_DEC)
+
+
+def frac(expr: Column) -> Column:
+    """A value whose true decimal form has ≤2 decimals (e.g. 1 - discount)
+    computed in double then snapped back onto its exact grid."""
+    return expr.cast(FRAC_DEC)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact on the 4-dec grid."""
+    return money("l_extendedprice") * frac(F.lit(1) - F.col("l_discount"))
+
+
+def charge() -> Column:
+    """disc_price * (1 + l_tax), exact on the 6-dec grid."""
+    return disc_price() * frac(F.lit(1) + F.col("l_tax"))
+
+
+def sum_money(expr: Column, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum, rounded on the exact value, surfaced as DOUBLE."""
+    return F.round(F.sum(expr), scale).cast("double").alias(alias)
+
+
+# ---- DuckDB oracle mirrors (identical grid, identical rounding) ----
+
+SQL_PRICE = f"CAST(l_extendedprice AS {PRICE_DEC})"
+SQL_DISC_PRICE = f"{SQL_PRICE} * CAST(1 - l_discount AS {FRAC_DEC})"
+SQL_CHARGE = f"({SQL_DISC_PRICE}) * CAST(1 + l_tax AS {FRAC_DEC})"
+
+
+def sql_sum_money(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(round(sum({expr}), {scale}) AS DOUBLE) AS {alias}"

@@ -13,6 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.functions.money import (
+    QTY_DEC,
+    SQL_DISC_PRICE,
+    SQL_PRICE,
+    charge,
+    disc_price,
+    frac,
+    money,
+    sum_money,
+)
 from restaurant_etl_spark.operators.asof import asof_join
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
@@ -30,10 +40,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                            AS sum_qty,
-           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))
+                          * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 2)                                            AS avg_qty,
            round(avg(l_extendedprice), 2)                                       AS avg_price,
            round(avg(l_discount), 4)                                            AS avg_disc,
@@ -51,13 +64,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (restaurant_etl/models/menu_models.py:229-248) generalized to lineitem.
     """
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
+        sum_money(F.col("l_quantity").cast(QTY_DEC), "sum_qty"),
+        sum_money(money("l_extendedprice"), "sum_base_price"),
+        sum_money(disc_price(), "sum_disc_price"),
+        sum_money(charge(), "sum_charge"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -67,9 +78,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -92,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_money(disc_price(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -101,8 +112,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT n_name, CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -134,14 +145,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_money(disc_price(), "revenue"))
     )
 
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+    SELECT CAST(round(sum({SQL_PRICE} * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -162,7 +173,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            sum_money(money("l_extendedprice") * frac(F.col("l_discount")), "revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -170,9 +181,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -196,7 +207,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_money(disc_price(), "revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

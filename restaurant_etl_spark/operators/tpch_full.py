@@ -14,6 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.functions.money import (
+    QTY_DEC,
+    SQL_DISC_PRICE,
+    disc_price,
+    frac,
+    money,
+    sum_money,
+)
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -22,16 +30,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# revenue terms ride the exact decimal grid (functions/money.py) so group
+# sums agree with the DuckDB oracle at every scale factor by construction
+_rev = disc_price
 
 
 @register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
@@ -63,16 +72,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cn, F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(sum_money(_rev(), "revenue"))
     )
 
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     WITH all_rev AS (
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {SQL_DISC_PRICE} AS volume,
                sn.n_name AS supp_nation
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -85,8 +94,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
     )
     SELECT l_year,
-           round(sum(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
     FROM all_rev GROUP BY l_year
     """,
     category="relational",
@@ -114,18 +123,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(F.year("l_shipdate").alias("l_year"), _rev().alias("volume"), "supp_nation")
     )
-    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(0.0)
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(F.lit(0))
     return vol.groupBy("l_year").agg(
-        F.round(F.sum(brazil) / F.sum("volume"), 4).alias("mkt_share")
+        F.round(
+            F.sum(brazil).cast("double") / F.sum("volume").cast("double"), 4
+        ).alias("mkt_share")
     )
 
 
 @register(
     "q9_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.4 * p_retailprice * l_quantity), 2) AS sum_profit
+           CAST(round(sum({SQL_DISC_PRICE}
+                     - CAST(0.4 * p_retailprice AS DECIMAL(16,3))
+                       * CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -145,13 +157,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
-    profit = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    profit = _rev() - (0.4 * F.col("p_retailprice")).cast("decimal(16,3)") * F.col(
+        "l_quantity"
+    ).cast(QTY_DEC)
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(sum_money(profit, "sum_profit"))
     )
 
 
@@ -219,10 +233,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
@@ -242,7 +256,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 2).alias("total_revenue")
+        sum_money(_rev(), "total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf_dir, "supplier")

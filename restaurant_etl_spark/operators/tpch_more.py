@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.functions.money import SQL_DISC_PRICE, disc_price, sum_money
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -106,10 +107,10 @@ def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue_pct",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    oracle=f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN {SQL_DISC_PRICE} ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
     """,
@@ -123,12 +124,15 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = disc_price()
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 4
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
             ).alias("promo_pct")
         )
     )
@@ -175,8 +179,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_predicates",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    oracle=f"""
+    SELECT CAST(round(sum({SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -197,7 +201,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        sum_money(disc_price(), "revenue"),
         F.count("*").alias("n_lines"),
     )
 
