@@ -31,9 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: 2-dec money column, |value| < 10^12 — sums get +10 precision headroom
-#: from Spark's sum(DECIMAL(p,s)) -> DECIMAL(p+10,s) without nearing 38
-PRICE_DEC = "decimal(14,2)"
+#: 2-dec money column, |value| < 10^10 — chosen so price × rate products
+#: stay at precision 17 ≤ 18, Spark's compact long-backed Decimal limit
+#: (wider per-row decimals allocate a JavaBigDecimal per row, measured
+#: +25% on the q1 sums at sf1); sums still get +10 precision headroom
+#: from sum(DECIMAL(p,s)) -> DECIMAL(p+10,s) without nearing 38
+PRICE_DEC = "decimal(12,2)"
 #: (1 ± 2-dec rate) factors and other small 2-dec scalars
 FRAC_DEC = "decimal(4,2)"
 #: quantities (integral in the data; 2-dec headroom costs nothing)

@@ -41,10 +41,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE)      AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                           * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                           * CAST(1 - l_discount AS DECIMAL(4,2))
                           * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 2)                                            AS avg_qty,

@@ -6,6 +6,13 @@ a 100× scale-up; any query whose time grows FASTER than the data is a
 scale-killer candidate.
 
 Usage: python scripts/bench_scaling.py [sf_dir ...] [--skew-dirs d1,d2,...]
+       python scripts/bench_scaling.py --skew-only d1,d2   # re-bench ONLY the
+         skew points and splice the skew section + narrative into the
+         existing SCALING.md (uniform tables untouched)
+
+Scale-point dirs MUST contain a parseable "sf<N>" token (bench.py derives
+the scale factor from the path: spark_graft_sf1, spark_graft_sf0.1skew);
+a name like skew_sf01 parses as sf=1 and corrupts the growth ratios.
 Writes SCALING.md at the repo root and prints one JSON line per SF.
 
 ``--skew-dirs`` additionally benches scale points synthesized with
@@ -88,6 +95,12 @@ Data grows 10x, so <=10x growth = at-or-below linear scaling.
 - The only quadratic op left anywhere is the labeled exact baseline
   `dedup_embedding_cosine`, hard-capped with a clear error above its
   documented row cap.
+- r7: money aggregates ride the exact DECIMAL grid in both engines
+  (`functions/money.py`) after the sf1 oracle replica caught DOUBLE
+  summation drift crossing a cent on q7/q9 (ORACLE_SF1_r07.log) —
+  the few-percent steady-total uptick vs the r6 sweep is that exactness
+  plus the interval join's skew-proof bucket key, both constant factors
+  that do not move the growth ratios.
 
 ## Bench notes (r6): the q7/q18 r4->r5 deltas are noise
 
@@ -114,11 +127,17 @@ def _norm(r: dict) -> dict:
 def main() -> int:
     argv = sys.argv[1:]
     skew_dirs: list[str] = []
+    skew_only = False
+    if "--skew-only" in argv:
+        i = argv.index("--skew-only")
+        skew_dirs = [d for d in argv[i + 1].split(",") if d]
+        argv = argv[:i] + argv[i + 2:]
+        skew_only = True
     if "--skew-dirs" in argv:
         i = argv.index("--skew-dirs")
         skew_dirs = [d for d in argv[i + 1].split(",") if d]
         argv = argv[:i] + argv[i + 2:]
-    sf_dirs = argv or DEFAULT_SFS
+    sf_dirs = [] if skew_only else (argv or DEFAULT_SFS)
     results = []
     for d in sf_dirs:
         r = _norm(run_bench(d))
@@ -132,6 +151,22 @@ def main() -> int:
         print(json.dumps({"sf": r["sf"], "skew": True,
                           "steady_total": r["steady_total"],
                           "cold_total": r["cold_total"], "errors": r["errors"]}))
+
+    if skew_only:
+        path = os.path.join(REPO, "SCALING.md")
+        body = open(path).read()
+        for marker in ("## Skewed-corpus decade", "## The sf=1.0 scale point"):
+            cut = body.find(marker)
+            if cut >= 0:
+                body = body[:cut].rstrip() + "\n"
+                break
+        out = body + "\n" + "\n".join(
+            _skew_section(skew_results[-2], skew_results[-1]) + ["", _NARRATIVE.rstrip()]
+        ) + "\n"
+        with open(path, "w") as f:
+            f.write(out)
+        print(f"spliced skew section into {path}")
+        return 0
 
     lines = [
         "# SCALING.md — headline bench vs scale factor",
@@ -180,47 +215,54 @@ def main() -> int:
         ]
 
     if len(skew_results) >= 2:
-        a, b = skew_results[-2], skew_results[-1]
-        data_ratio = b["sf"] / a["sf"]
-        lines += [
-            "",
-            f"## Skewed-corpus decade {a['sf']} → {b['sf']} (data ×{data_ratio:.0f})",
-            "",
-            "Scale points from `make_sfN.py --skew`: power-law duplicate",
-            "clusters (sizes up to the 10× multiplier: measured 4×10 + 12×5 +",
-            "47×2 per 5k docs), 75% of documents in ONE hot source, and one",
-            "customer/user owning 20% of orders and events — the hostile",
-            "distribution the uniform sweep never exercises (VERDICT r6 #3).",
-            "AQE skew-join splitting is proven to engage under a hot key by",
-            "`tests/test_plans.py::test_aqe_skew_join_split_fires`.",
-            "",
-            "| query | steady@{} (skew) | steady@{} (skew) | growth |".format(a["sf"], b["sf"]),
-            "|---|---|---|---|",
-        ]
-        for q in sorted(b["queries"], key=lambda q: -b["queries"][q]):
-            ta, tb = a["queries"].get(q), b["queries"][q]
-            if ta is None or ta <= 0:
-                growth = "—"
-            else:
-                g = tb / ta
-                growth = f"{g:.2f}×" + (" ⚠ super-linear" if g > data_ratio else "")
-            lines.append(f"| {q} | {ta} | {tb} | {growth} |")
-        lines += [
-            "",
-            "Reading: the dedup family's inverted-index paths stay at-or-below",
-            "the data ratio BECAUSE the duplicate-cluster sizes are bounded by",
-            "the copy multiplier and every posting list is DF-capped — a hot",
-            "shingle shared by a whole cluster contributes candidates through",
-            "the pair-driven hot-correction, never a posting self-join. The hot",
-            "join key rides AQE's skew split (and join_salted_skew's manual",
-            "salting shows the pre-AQE mitigation on the same shape).",
-        ]
+        lines += [""] + _skew_section(skew_results[-2], skew_results[-1])
 
     lines += ["", _NARRATIVE.rstrip()]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {os.path.join(REPO, 'SCALING.md')}")
     return 0
+
+
+def _skew_section(a: dict, b: dict) -> list[str]:
+    data_ratio = b["sf"] / a["sf"]
+    lines = [
+        f"## Skewed-corpus decade {a['sf']} → {b['sf']} (data ×{data_ratio:.0f})",
+        "",
+        "Scale points from `make_sfN.py --skew`: power-law duplicate",
+        "clusters (sizes up to the 10× multiplier: measured 4×10 + 12×5 +",
+        "47×2 per 5k docs), 75% of documents in ONE hot source, and one",
+        "customer/user owning 20% of orders and events — the hostile",
+        "distribution the uniform sweep never exercises (VERDICT r6 #3).",
+        "AQE skew-join splitting is proven to engage under a hot key by",
+        "`tests/test_plans.py::test_aqe_skew_join_split_fires`.",
+        "",
+        "| query | steady@{} (skew) | steady@{} (skew) | growth |".format(a["sf"], b["sf"]),
+        "|---|---|---|---|",
+    ]
+    for q in sorted(b["queries"], key=lambda q: -b["queries"][q]):
+        ta, tb = a["queries"].get(q), b["queries"][q]
+        if ta is None or ta <= 0:
+            growth = "—"
+        else:
+            g = tb / ta
+            growth = f"{g:.2f}×" + (" ⚠ super-linear" if g > data_ratio else "")
+        lines.append(f"| {q} | {ta} | {tb} | {growth} |")
+    lines += [
+        "",
+        "Reading: the dedup family's inverted-index paths stay at-or-below",
+        "the data ratio BECAUSE the duplicate-cluster sizes are bounded by",
+        "the copy multiplier and every posting list is DF-capped — a hot",
+        "shingle shared by a whole cluster contributes candidates through",
+        "the pair-driven hot-correction, never a posting self-join. The hot",
+        "join key rides AQE's skew split (and join_salted_skew's manual",
+        "salting shows the pre-AQE mitigation on the same shape). The",
+        "stream-stream interval join keys on (user, horizon-bucket), not",
+        "user alone, so the hot user's view×purchase candidate set is",
+        "adjacent-bucket pairs instead of all pairs — the r7 fix for the",
+        "88.9×/84.7 s quadratic this sweep exposed (streaming/jobs.py).",
+    ]
+    return lines
 
 
 if __name__ == "__main__":
