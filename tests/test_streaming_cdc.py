@@ -164,6 +164,143 @@ def test_compaction_recovers_zonemap_skipping_after_merges(spark, tmp_path):
     assert merge_apply(spark, tgt, _changes(spark, [("insert", 1, "X", 1.0)]), 3) is False
 
 
+def _skip_fraction(version_dir: str, col: str, hi: float) -> float:
+    """fraction of rows in row groups a ``col <= hi`` probe skips
+    (min > hi), from real parquet row-group statistics"""
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for fn in os.listdir(version_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(version_dir, fn)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(names[col]).statistics
+            assert st is not None and st.has_min_max
+            total += rg.num_rows
+            if st.min > hi:
+                skipped += rg.num_rows
+    assert total > 0
+    return skipped / total
+
+
+def test_compaction_aborts_and_retries_on_concurrent_merge(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (medium): a merge committing DURING the compaction
+    rewrite must not be reverted by compaction publishing its stale
+    ledger copy. The optimistic-commit re-read detects the moved
+    hwm/current, discards the stale output, and retries against the
+    fresh version — the merged data stays visible and the redelivered
+    batch still skips."""
+    from restaurant_etl_spark.streaming import cdc
+
+    tgt = str(tmp_path / "tgt")
+    rows0 = [("insert", k, "I", float(k % 97) + 1.0) for k in range(1, 2001)]
+    assert cdc.merge_apply(spark, tgt, _changes(spark, rows0), 0)
+
+    real_read = cdc.read_ledger
+    state = {"calls": 0, "in_merge": False}
+
+    def racing_read(target_dir):
+        if state["in_merge"]:
+            return real_read(target_dir)
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # this is compaction's freshness re-read, i.e. the rewrite
+            # just finished — commit a real merge in the race window
+            state["in_merge"] = True
+            try:
+                assert cdc.merge_apply(
+                    spark, target_dir,
+                    _changes(spark, [("increment", 1, None, 5.0)]), 1,
+                )
+            finally:
+                state["in_merge"] = False
+        return real_read(target_dir)
+
+    monkeypatch.setattr(cdc, "read_ledger", racing_read)
+    version = cdc.compact_target_zorder(spark, tgt)
+    monkeypatch.undo()
+
+    led = read_ledger(tgt)
+    assert version == "v1_compact", "retry should compact the post-merge version"
+    assert led["current"] == "v1_compact"
+    assert led["hwm"] == 1, "concurrent merge must not be reverted"
+    assert led["compact_hwm"] == 1
+    assert not os.path.exists(os.path.join(tgt, "v0_compact")), "stale output not cleaned"
+    state_now = {
+        r.o_orderkey: round(r.o_totalprice, 2)
+        for r in read_target(spark, tgt).collect()
+    }
+    assert state_now[1] == 2.0 + 5.0, "mid-compaction increment lost"
+    # redelivery of the racing batch still skips post-compaction
+    assert merge_apply(spark, tgt, _changes(spark, [("insert", 1, "X", 1.0)]), 1) is False
+
+
+def test_auto_compaction_policy_fires_and_survives_restart(spark, tmp_path):
+    """VERDICT r7 #7: cdc_apply_sink compacts every N applied batches
+    with the cadence anchored in the ledger's compact_hwm, so a restarted
+    stream CONTINUES the cadence (no counter reset) and the compacted
+    version recovers row-group skipping mid-stream."""
+    src = str(tmp_path / "changes")
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    n = 4000
+    schema = CDC_SCHEMA + ", change_id bigint, ts timestamp"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one change file per batch
+            .parquet(src)
+            .select("op", "m_key", "new_status", "new_price")
+        )
+        q = cdc_apply_sink(stream, tgt, ckpt, compact_every=3)
+        assert q.awaitTermination(300)
+
+    # run 1: four files → batches 0-3; policy fires at hwm=2 (3 applied)
+    _write_change_file(
+        spark, src, [("insert", k, "I", float(k % 997) + 1.0) for k in range(1, n + 1)],
+        t0, cid_base=0,
+    )
+    for b in range(1, 4):
+        _write_change_file(
+            spark, src,
+            [("update", k, f"U{b}", float((k * 7) % 997) + 1.0)
+             for k in range(b, n + 1, 3)],
+            t0 + dt.timedelta(minutes=b), cid_base=b * 10_000,
+        )
+    run_once()
+    led = read_ledger(tgt)
+    assert led["hwm"] == 3
+    assert led["compact_hwm"] == 2, "policy should have compacted after 3 batches"
+    assert os.path.isdir(os.path.join(tgt, "v2_compact"))
+
+    # run 2 (restart): three more files → batches 4-6; cadence continues
+    # from compact_hwm=2 → next compaction exactly at hwm=5
+    for b in range(4, 7):
+        _write_change_file(
+            spark, src,
+            [("update", k, f"U{b}", float((k * 11) % 997) + 1.0)
+             for k in range(b % 3 + 1, n + 1, 3)],
+            t0 + dt.timedelta(minutes=b), cid_base=b * 10_000,
+        )
+    run_once()
+    led = read_ledger(tgt)
+    assert led["hwm"] == 6
+    assert led["compact_hwm"] == 5, "restart must continue cadence, not reset it"
+    assert os.path.isdir(os.path.join(tgt, "v5_compact"))
+
+    # the compacted version recovered zone-map skipping on both z-dims,
+    # while the ordinary merge output next to it stays unclustered
+    key_hi, price_hi = n / 8, 997 / 8
+    assert _skip_fraction(os.path.join(tgt, "v5_compact"), "o_orderkey", key_hi) > 0.5
+    assert _skip_fraction(os.path.join(tgt, "v5_compact"), "o_totalprice", price_hi) > 0.5
+    assert _skip_fraction(os.path.join(tgt, "v6"), "o_orderkey", key_hi) < 0.05
+
+
 def test_ledger_legacy_list_format_upgrades(tmp_path):
     """Pre-r7 ledgers stored the applied ids as a list; read_ledger must
     upgrade them to the high-watermark form so existing targets resume."""
