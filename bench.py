@@ -87,9 +87,18 @@ HEADLINE = [
     "dedup_containment",
     "dedup_incremental_batch",
     "dedup_source_overlap_matrix",
-    "dedup_embedding_keep_fixedband",
     "retrieval_hard_negatives",
     "bpe_apply_merges",
+]
+
+#: calibration-only suite (VERDICT r7 #5): registered + oracle-checked
+#: queries that are deliberately NON-production baselines — the headline
+#: total must measure the production surface, not a labeled quadratic
+#: twin kept for pinned-width recall calibration. Benched only when
+#: SPARK_GRAFT_BENCH_CALIBRATION=1; timings go to the stderr artifact
+#: under "calibration" and never into value/steady_total/cold_total.
+CALIBRATION = [
+    "dedup_embedding_keep_fixedband",
 ]
 
 
@@ -165,6 +174,26 @@ def main() -> int:
             cold.pop(name, None)
             stats.pop(name, None)
 
+    calibration: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CALIBRATION") == "1":
+        for name in CALIBRATION:
+            spec = specs.get(name)
+            if spec is None:
+                continue
+            try:
+                df = spec.fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()  # cold
+                reps = []
+                for _ in range(max(1, steady_iters)):
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    reps.append(time.time() - t0)
+                calibration[name] = round(statistics.median(reps), 3)
+                del df
+                gc.collect()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+
     total = round(sum(timings.values()), 3)
     # Full detail (per-query min/median/max envelopes + cold timings) goes to
     # STDERR: the driver's artifact keeps only the LAST ~2000 chars of stdout
@@ -186,6 +215,7 @@ def main() -> int:
         "queries": timings,
         "query_stats": stats,
         "cold_queries": cold,
+        "calibration": calibration,
         "errors": errors,
         "sf": sf,
     }
@@ -207,6 +237,21 @@ def main() -> int:
     if len(line) > 1950:  # belt-and-braces: never overflow the tail window
         compact.pop("errors", None)
         line = json.dumps(compact)
+    if len(line) > 1950:
+        # still over budget: shed the smallest per-query timings (headline
+        # total stays; full map is already on stderr) and say so loudly —
+        # a silent overflow regresses the driver's parse to null
+        dropped = 0
+        for k in sorted(compact["queries"], key=compact["queries"].get):
+            del compact["queries"][k]
+            dropped += 1
+            compact["queries_dropped"] = dropped
+            line = json.dumps(compact)
+            if len(line) <= 1950:
+                break
+        print(f"WARNING: compact stdout overflowed 1950 chars; dropped the "
+              f"{dropped} smallest query timings from the stdout line",
+              file=sys.stderr)
     print(line)
     return 0
 

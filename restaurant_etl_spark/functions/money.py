@@ -68,6 +68,39 @@ def sum_money(expr: Column, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(expr), scale).cast("double").alias(alias)
 
 
+def _avg_grid_template(col_sql: str, dec: str, d: int, intdiv: str) -> str:
+    """round(avg(col), d) computed with PURE INTEGER arithmetic, for a
+    column whose true values live on the 2-dec grid (ADVICE r7: q1's
+    DOUBLE avg accumulation is the same order-dependent FP class that
+    broke the q7/q9 sums at sf1).
+
+    Let S = sum(col)·100 (exact BIGINT: the decimal sum is on the cent
+    grid) and N = count(*). The HALF_UP rounding of S/(100·N) at d
+    decimals is ⌊(2·S·10^d + 100·N) / (200·N)⌋ / 10^d for positive
+    operands — no FP division, no engine decimal-division semantics, so
+    both engines produce the identical integer and the final
+    int→DOUBLE/10^d is a correctly-rounded IEEE op on identical inputs.
+    Overflow headroom: 2·S·10^d must fit BIGINT — with d=2 and price
+    sums ~10^16 (sf~10^3 per group) the product is ~2·10^18 < 2^63.
+    """
+    m = 10 ** d
+    s = f"CAST(sum(CAST({col_sql} AS {dec})) * 100 AS BIGINT)"
+    return (
+        f"CAST((2 * {s} * {m} + 100 * count(*)) {intdiv} (200 * count(*)) "
+        f"AS DOUBLE) / {m}"
+    )
+
+
+def avg_on_grid(col_sql: str, dec: str, d: int, alias: str) -> Column:
+    """Spark side of :func:`_avg_grid_template` (integer div is ``DIV``)."""
+    return F.expr(_avg_grid_template(col_sql, dec, d, "DIV")).alias(alias)
+
+
+def sql_avg_on_grid(col_sql: str, dec: str, d: int, alias: str) -> str:
+    """DuckDB side of :func:`_avg_grid_template` (integer div is ``//``)."""
+    return f"{_avg_grid_template(col_sql, dec, d, '//')} AS {alias}"
+
+
 # ---- DuckDB oracle mirrors (identical grid, identical rounding) ----
 
 SQL_PRICE = f"CAST(l_extendedprice AS {PRICE_DEC})"

@@ -14,13 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from restaurant_etl_spark.functions.money import (
+    FRAC_DEC,
     QTY_DEC,
     SQL_DISC_PRICE,
     SQL_PRICE,
+    avg_on_grid,
     charge,
     disc_price,
     frac,
     money,
+    sql_avg_on_grid,
     sum_money,
 )
 from restaurant_etl_spark.operators.asof import asof_join
@@ -38,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE)      AS sum_qty,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
@@ -47,9 +50,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                           * CAST(1 - l_discount AS DECIMAL(4,2))
                           * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)      AS sum_charge,
-           round(avg(l_quantity), 2)                                            AS avg_qty,
-           round(avg(l_extendedprice), 2)                                       AS avg_price,
-           round(avg(l_discount), 4)                                            AS avg_disc,
+           {sql_avg_on_grid("l_quantity", QTY_DEC, 2, "avg_qty")},
+           {sql_avg_on_grid("l_extendedprice", "DECIMAL(12,2)", 2, "avg_price")},
+           {sql_avg_on_grid("l_discount", FRAC_DEC, 4, "avg_disc")},
            count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01'
@@ -62,6 +65,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity with reference A1-A4 summary aggregations
     (restaurant_etl/models/menu_models.py:229-248) generalized to lineitem.
+    Averages derive from the exact decimal sums via integer-only HALF_UP
+    (ADVICE r7: DOUBLE avg accumulation is the q7/q9 sf1 drift class).
     """
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -69,9 +74,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_money(money("l_extendedprice"), "sum_base_price"),
         sum_money(disc_price(), "sum_disc_price"),
         sum_money(charge(), "sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        avg_on_grid("l_quantity", QTY_DEC, 2, "avg_qty"),
+        avg_on_grid("l_extendedprice", "DECIMAL(12,2)", 2, "avg_price"),
+        avg_on_grid("l_discount", FRAC_DEC, 4, "avg_disc"),
         F.count("*").alias("count_order"),
     )
 

@@ -608,7 +608,14 @@ def _ivf_sqrtn_build(spark: SparkSession, sf_dir: str):
     refined centroid). Returns (cent, assign) as in-session materialized
     frames; :func:`_ivf_sqrtn_index` wraps this in the on-disk artifact."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    return _ivf_build_from(e)
 
+
+def _ivf_build_from(e: DataFrame):
+    """Full Lloyd build over an arbitrary ``(vec_id, v)`` frame — shared
+    by the per-corpus build and the drift-triggered rebuild in
+    :func:`ivf_append_batch` (which reconstructs the vector set from the
+    inverted file itself: it stores every vector)."""
     m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))
     h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("bigint")
     seeds = (
@@ -688,6 +695,35 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _write_ivf_meta(idx_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(idx_dir, "_meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def _read_ivf_meta(idx_dir: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(idx_dir, "_meta.json")
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    return {}
+
+
+def ivf_read_index(spark: SparkSession, idx_dir: str):
+    """(centroids, inverted) frames of a persisted IVF index artifact."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "centroids")),
+        spark.read.parquet(os.path.join(idx_dir, "inverted")),
+    )
+
+
 def _ivf_sqrtn_index(spark: SparkSession, sf_dir: str):
     """Load-or-build the persisted √n IVF index (VERDICT r6 #4): the
     inverted file + centroids are written ONCE as parquet keyed by corpus
@@ -702,15 +738,31 @@ def _ivf_sqrtn_index(spark: SparkSession, sf_dir: str):
     correct). The inverted file is written sorted by c_cell so parquet
     row groups cluster by cell (zone-map prunable on cell-targeted
     maintenance reads)."""
+    idx_dir, fallback = _ensure_ivf_index(spark, sf_dir)
+    if idx_dir is not None:
+        return ivf_read_index(spark, idx_dir)
+    return fallback
+
+
+def ivf_index_path(spark: SparkSession, sf_dir: str) -> str | None:
+    """Ensure the base IVF artifact for ``sf_dir`` exists; return its
+    path (None when the cache is unwritable). The maintenance-job entry
+    point: :func:`ivf_append_batch` takes this path."""
+    idx_dir, _ = _ensure_ivf_index(spark, sf_dir)
+    return idx_dir
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str):
+    """Returns ``(idx_dir, None)`` when the artifact exists / was
+    promoted, else ``(None, (cent, assign))`` with in-session frames
+    (unwritable cache)."""
     import os
     import shutil
 
     cache_root = os.environ.get(_IVF_INDEX_ENV, _IVF_INDEX_DEFAULT)
     idx_dir = os.path.join(cache_root, f"ivf_sqrtn_{_corpus_fingerprint(sf_dir)}")
-    cent_p = os.path.join(idx_dir, "centroids")
-    inv_p = os.path.join(idx_dir, "inverted")
     if os.path.isdir(idx_dir):
-        return spark.read.parquet(cent_p), spark.read.parquet(inv_p)
+        return idx_dir, None
 
     cent, assign = _ivf_sqrtn_build(spark, sf_dir)
     try:
@@ -719,13 +771,121 @@ def _ivf_sqrtn_index(spark: SparkSession, sf_dir: str):
         assign.sortWithinPartitions("c_cell").write.mode("overwrite").parquet(
             os.path.join(tmp, "inverted")
         )
+        n = spark.read.parquet(os.path.join(tmp, "inverted")).count()
+        _write_ivf_meta(tmp, {"rows": n, "built_rows": n})
         try:
             os.rename(tmp, idx_dir)
         except OSError:  # lost the build race — serve the winner's index
             shutil.rmtree(tmp, ignore_errors=True)
-        return spark.read.parquet(cent_p), spark.read.parquet(inv_p)
+        return idx_dir, None
     except Exception:  # cache unwritable: in-session index, still correct
-        return cent.localCheckpoint(eager=True), assign.localCheckpoint(eager=True)
+        return None, (cent.localCheckpoint(eager=True), assign.localCheckpoint(eager=True))
+
+
+#: appended-since-build fraction beyond which an append triggers a full
+#: Lloyd rebuild instead (centroid drift: cells sized for the old corpus)
+IVF_REBUILD_FRACTION = 0.3
+
+
+def _link_or_copy_tree(src: str, dst: str) -> None:
+    """Hardlink every file of a flat artifact dir (fall back to copy):
+    append-only maintenance must not rewrite the base corpus's files."""
+    import os
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if not os.path.isfile(s):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
+def ivf_append_batch(
+    spark: SparkSession, index_dir: str, batch: DataFrame, tag: str
+):
+    """Incremental IVF index maintenance (VERDICT r7 #8): fold an append
+    batch of new vectors into an existing index WITHOUT a full rebuild —
+    the incremental-dedup shape applied to the serving index.
+
+    Append path: the batch is assigned to the EXISTING centroids (one
+    broadcast of the √n centroid table — the batch never sees the
+    corpus), and a new artifact is published as hardlinks to every base
+    parquet file plus one delta file for the batch — write cost is
+    O(batch), not O(corpus). The artifact is immutable: the base index
+    keeps serving its corpus version; readers of the new path see
+    base ∪ batch.
+
+    Drift policy: when appended-since-last-build exceeds
+    ``IVF_REBUILD_FRACTION`` of the built corpus, cells are sized for a
+    corpus that no longer exists — the append triggers a full Lloyd
+    rebuild instead, from the inverted file itself (it stores every
+    vector) plus the batch. The ``_meta.json`` rows/built_rows pair
+    carries the policy state across chained appends.
+
+    Returns ``(new_index_dir, rebuilt: bool)``. ``tag`` is the caller's
+    batch id; re-applying the same tag returns the existing artifact
+    (idempotent maintenance, like the CDC ledger)."""
+    import os
+    import shutil
+
+    cols = batch.columns
+    b = (
+        batch.select("vec_id", F.col("embedding").alias("v"))
+        if "embedding" in cols
+        else batch.select("vec_id", "v")
+    )
+    new_dir = f"{index_dir}+{tag}"
+    if os.path.isdir(new_dir):
+        return new_dir, _read_ivf_meta(new_dir).get("last_append_rebuilt", False)
+
+    inv_p = os.path.join(index_dir, "inverted")
+    meta = _read_ivf_meta(index_dir)
+    base_rows = meta.get("rows") or spark.read.parquet(inv_p).count()
+    built_rows = meta.get("built_rows") or base_rows
+    m = b.count()
+    tmp = f"{new_dir}.build.{os.getpid()}"
+
+    rebuilt = (base_rows + m - built_rows) / built_rows > IVF_REBUILD_FRACTION
+    if rebuilt:
+        e_all = (
+            spark.read.parquet(inv_p)
+            .select("vec_id", F.col("cv_v").alias("v"))
+            .unionByName(b)
+        )
+        cent2, assign2 = _ivf_build_from(e_all)
+        cent2.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        assign2.sortWithinPartitions("c_cell").write.mode("overwrite").parquet(
+            os.path.join(tmp, "inverted")
+        )
+        _write_ivf_meta(tmp, {"rows": base_rows + m, "built_rows": base_rows + m,
+                              "last_append_rebuilt": True})
+    else:
+        cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        sa = b.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_cell",
+            F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
+        assign_b = (
+            sa.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
+        )
+        _link_or_copy_tree(os.path.join(index_dir, "centroids"),
+                           os.path.join(tmp, "centroids"))
+        _link_or_copy_tree(inv_p, os.path.join(tmp, "inverted"))
+        assign_b.write.mode("append").parquet(os.path.join(tmp, "inverted"))
+        _write_ivf_meta(tmp, {"rows": base_rows + m, "built_rows": built_rows,
+                              "last_append_rebuilt": False})
+    try:
+        os.rename(tmp, new_dir)
+    except OSError:  # concurrent maintenance with the same tag — serve winner
+        shutil.rmtree(tmp, ignore_errors=True)
+    return new_dir, rebuilt
 
 
 @register(
@@ -800,6 +960,14 @@ def similarity_ivf_sqrtn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < QUERY_ID_CAP)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    return _ivf_probe_topk(q, cent, assign)
+
+
+def _ivf_probe_topk(q: DataFrame, cent: DataFrame, assign: DataFrame) -> DataFrame:
+    """The IVF SERVE path — probe nprobe=3 cells, exact rank inside them —
+    over any (q_id, qv) query frame and any (cent, assign) index pair
+    (freshly built, loaded from the parquet artifact, or incrementally
+    appended via :func:`ivf_append_batch`)."""
     qs = q.crossJoin(F.broadcast(cent)).select(
         "q_id", "qv", "c_cell",
         F.round(cosine(_dvec("qv"), F.col("cv")), 4).alias("cos"),
@@ -947,12 +1115,19 @@ def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production keep-list: band width derived from corpus size (r7 promotion)
 # --------------------------------------------------------------------------
 
-#: production keep-list: 2 bands drawn from a 32-bit signature; per-corpus
-#: band width B = clamp(bit_length(n), 8, 16), computed IDENTICALLY in
+#: production keep-list: 2 bands drawn from a 64-bit signature; per-corpus
+#: band width B = clamp(bit_length(n), 8, 32), computed IDENTICALLY in
 #: both engines as length(bin(n)) — integer semantics, no log2 FP edge
 #: at powers of two. E[random collisions] ≈ 2·C(n,2)/2^B stays Θ(n)
-#: while B tracks log2(n).
-ADAPT_MAX_BITS = 32
+#: while B tracks log2(n). VERDICT r7 #1: the r7 32-bit signature capped
+#: B at 16, silently re-quadratizing candidates past n≈65k — one decade
+#: beyond the largest then-tested corpus. 64 signature bits let B track
+#: bit_length(n) to 32, i.e. n ≈ 4·10⁹ vectors (the 100 TB design
+#: point), before the clamp binds; the n=200k scale point in SCALING.md
+#: sits where the old clamp would have bound and measures candidate
+#: pairs/vector still ~constant. Band values are BIGINT (B=32 needs
+#: bit 31).
+ADAPT_MAX_BITS = 64
 ADAPT_BANDS = 2
 ADAPT_MIN_B = 8
 ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
@@ -972,7 +1147,7 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
         {" UNION ALL ".join(
             f"SELECT vec_id, v, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, bw.b + 1), "
-            f"r -> sig[{k} * bw.b + r] * (1 << (r - 1))), 'sum') AS band "
+            f"r -> sig[{k} * bw.b + r] * (CAST(1 AS BIGINT) << (r - 1))), 'sum') AS band "
             f"FROM s, bw"
             for k in range(ADAPT_BANDS)
         )}
@@ -998,19 +1173,23 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
 def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup keep-list — THE production path (promoted from
     ``dedup_embedding_keep_adaptive`` in r7, VERDICT r6 #1): band width is
-    derived from the corpus size — B = clamp(bit_length(n), 8, 16) via
+    derived from the corpus size — B = clamp(bit_length(n), 8, 32) via
     integer bit-length (``length(bin(n))`` in the oracle; no log2 FP edge
     at powers of two) — so the random-collision candidate set stays Θ(n)
-    BY CONSTRUCTION as the corpus grows: E[collisions] ≈ 2·C(n,2)/2^B
-    with B tracking log2(n), vs the fixed-width calibration twin's
-    measured 105× pair growth per data decade. Near-identical duplicates
-    (the keep-list's target) collide at (1 - θ/π)^B per band, which stays
-    high precisely as θ → 0, so the adaptivity costs recall only on
-    low-cosine borderline pairs.
+    as the corpus grows: E[collisions] ≈ 2·C(n,2)/2^B with B tracking
+    log2(n), vs the fixed-width calibration twin's measured 105× pair
+    growth per data decade. The clamp ceiling is now 32 (VERDICT r7 #1:
+    the former 64-bit=2×16 signature saturated B at n≈65k, deferring the
+    same quadratic two decades out); with a 64-bit signature the ceiling
+    binds only past n ≈ 4·10⁹ vectors — the 100 TB design point.
+    Near-identical duplicates (the keep-list's target) collide at
+    (1 - θ/π)^B per band, which stays high precisely as θ → 0, so the
+    adaptivity costs recall only on low-cosine borderline pairs.
 
-    Measured (r6): candidate pairs per vector 1.31 at n=2k (B=11) and
-    1.08 at n=20k (B=15) — constant-per-row across the data decade,
-    versus the fixed-width twin's 0.7 → 7.2 (105× total growth).
+    Measured: candidate pairs per vector 1.31 at n=2k (B=11, r6), 1.08
+    at n=20k (B=15, r6), and ~constant again at n=200k (B=18, r8 — the
+    scale point where the old clamp bound; see SCALING.md embeddings
+    decade).
 
     The width is resolved to a PLAN-TIME CONSTANT from one driver-side
     count — the same role table statistics play on a real catalog (at
@@ -1021,27 +1200,47 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-value collect is the documented exception class: plan staging, not
     a data-path collect).
 
-    Mechanics: one 32-bit hyperplane signature per row (literal ±1
-    matrix, codegen'd), two band keys sliced to B bits each, bucket
-    self-join, exact cosine ≥ 0.3 verify inside buckets, min-id
-    canonical per vector — one keep/drop row per vector."""
+    Mechanics: one 64-bit hyperplane signature per row (literal ±1
+    matrix, codegen'd), two band keys sliced to B bits each (BIGINT:
+    B=32 sets bit 31), bucket self-join, exact cosine ≥ 0.3 verify
+    inside buckets, min-id canonical per vector — one keep/drop row per
+    vector."""
+    e, _n, _width, cand = _adaptive_cand(spark, sf_dir)
+    dup = cand.filter(cosine(_dvec("va"), _dvec("vb")) >= 0.3).select("id_a", "id_b")
+    return (
+        e.join(dup, e.vec_id == dup.id_b, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.min("id_a"), F.first("vec_id")).alias("canonical_id"),
+            (F.coalesce(F.min("id_a"), F.first("vec_id")) == F.first("vec_id")).alias("is_kept"),
+        )
+    )
+
+
+def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+    """The keep-list's candidate stage, shared with
+    ``scripts/measure_adaptive_candidates.py`` so the Θ(n) claim is
+    measured on EXACTLY the production pipeline. Returns
+    ``(e, n, band_width, cand)`` — ``cand`` is the DISTINCT bucket-join
+    pair set (id_a < id_b) with both vectors attached. ``force_width``
+    pins B (measurement-only: the counterfactual old-clamp run)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
     n = e.count()  # plan-time stat (catalog/footer lookup at scale)
-    b = min(ADAPT_MAX_B, max(ADAPT_MIN_B, int(n).bit_length()))
+    width = force_width or min(ADAPT_MAX_B, max(ADAPT_MIN_B, int(n).bit_length()))
     s = e.select("vec_id", "v", F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig"))
     band_val = [
         F.expr(
-            f"aggregate(sequence(1, {b}), 0, "
-            f"(acc, r) -> acc + element_at(sig, {k} * {b} + r) * CAST(shiftleft(1, r - 1) AS INT))"
+            f"aggregate(sequence(1, {width}), CAST(0 AS BIGINT), "
+            f"(acc, r) -> acc + element_at(sig, {k} * {width} + r) * shiftleft(CAST(1 AS BIGINT), r - 1))"
         ).alias(f"band{k}")
         for k in range(ADAPT_BANDS)
     ]
     bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    left = bands.alias("a")
+    right = bands.alias("b")
     cand = (
-        a.join(
-            b,
+        left.join(
+            right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -1054,15 +1253,7 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dup = cand.filter(cosine(_dvec("va"), _dvec("vb")) >= 0.3).select("id_a", "id_b")
-    return (
-        e.join(dup, e.vec_id == dup.id_b, "left")
-        .groupBy("vec_id")
-        .agg(
-            F.coalesce(F.min("id_a"), F.first("vec_id")).alias("canonical_id"),
-            (F.coalesce(F.min("id_a"), F.first("vec_id")) == F.first("vec_id")).alias("is_kept"),
-        )
-    )
+    return e, n, width, cand
 
 
 #: hard negatives mined per query

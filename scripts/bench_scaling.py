@@ -139,6 +139,10 @@ def main() -> int:
         skew_dirs = [d for d in argv[i + 1].split(",") if d]
         argv = argv[:i] + argv[i + 2:]
         skew_only = True
+        if len(skew_dirs) < 2:  # splice needs [-2]/[-1] — fail BEFORE benching
+            print("--skew-only needs at least two skew dirs (comma-separated)",
+                  file=sys.stderr)
+            return 2
     if "--skew-dirs" in argv:
         i = argv.index("--skew-dirs")
         skew_dirs = [d for d in argv[i + 1].split(",") if d]

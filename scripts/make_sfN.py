@@ -142,6 +142,10 @@ def _skew_hot_key(tbl: pa.Table, sel_col: str, key_col: str, hot_key: int) -> pa
 
 
 def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
+    """Rotation wraps at DIM=64: with mult > 64, copy k is an EXACT
+    embedding-space duplicate of copy k-64 (cos = 1.0) — realistic
+    size-2 duplicate clusters, still linear in n, and the dedup
+    keep-list's oracle mirrors them exactly."""
     if k == 0:
         return tbl
     vecs = [
@@ -155,9 +159,24 @@ def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     )
 
 
-def make_scale_point(src: str, dst: str, mult: int, skew: bool = False) -> None:
+def make_scale_point(
+    src: str, dst: str, mult: int, skew: bool = False,
+    tables: list[str] | None = None,
+) -> None:
+    """``tables`` (r8, VERDICT r7 #1): restrict the ×mult duplication to
+    the named fact tables; every other table is copied as-is. Used to
+    build per-family scale points (e.g. embeddings ×100 → n=200k vectors
+    to stress the adaptive band-width clamp) without paying the full
+    ×mult on every fact table — and without re-scaling an already-scaled
+    point, whose key offsets would collide (k1+k2 sums repeat)."""
     os.makedirs(dst, exist_ok=True)
-    for name in COPY_AS_IS:
+    as_is = list(COPY_AS_IS)
+    if tables is not None:
+        unknown = set(tables) - set(KEY_OFFSETS)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        as_is += [t for t in KEY_OFFSETS if t not in tables]
+    for name in as_is:
         pq.write_table(pq.read_table(os.path.join(src, f"{name}.parquet")),
                        os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: copied as-is")
@@ -167,6 +186,8 @@ def make_scale_point(src: str, dst: str, mult: int, skew: bool = False) -> None:
         hot_cust = pc.min(cust.column("c_custkey")).as_py()
         print(f"skew mode: hot customer/user key = {hot_cust}")
     for name, offsets in KEY_OFFSETS.items():
+        if tables is not None and name not in tables:
+            continue
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         copies = []
         for k in range(mult):
@@ -193,8 +214,12 @@ def main() -> int:
     ap.add_argument("--skew", action="store_true",
                     help="hostile distribution: power-law dup clusters, "
                          "hot source, hot join key (see module docstring)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated fact tables to scale; the rest "
+                         "are copied as-is (per-family scale points)")
     args = ap.parse_args()
-    make_scale_point(args.src, args.dst, args.mult, skew=args.skew)
+    tables = [t for t in args.tables.split(",") if t] if args.tables else None
+    make_scale_point(args.src, args.dst, args.mult, skew=args.skew, tables=tables)
     return 0
 
 

@@ -1,0 +1,74 @@
+"""Measure the production embedding keep-list's candidate growth across
+scale points (VERDICT r7 #1: prove the widened adaptive band keeps
+candidate pairs/vector ~constant at n=200k, where the old B≤16 clamp
+would have bound and re-quadratized).
+
+Runs the EXACT candidate stage of ``dedup_embedding_keep``
+(`similarity._adaptive_cand`) per directory and prints one JSON line per
+scale point: n, band width B, candidate pairs, pairs/vector, and what
+the OLD 32-bit-signature clamp (B ≤ 16) would have produced in
+expectation — ``old_clamp_expected_pairs`` ≈ bands·C(n,2)/2^min(bitlen,16)
+random collisions — so the avoided quadratic is visible in the same row.
+
+Usage:
+    python scripts/measure_adaptive_candidates.py DIR [DIR ...]
+
+Scale points: sf0.1 has n=2k, /tmp/spark_graft_sf1 n=20k, and
+``make_sfN.py --mult 100 --src /root/testdata/sf0.1 --tables embeddings
+--dst /tmp/spark_graft_emb200k`` builds the n=200k point (embeddings
+only; other tables copied as-is).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from restaurant_etl_spark.operators.similarity import (
+    ADAPT_BANDS,
+    ADAPT_MIN_B,
+    _adaptive_cand,
+)
+from restaurant_etl_spark.session import get_spark
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    measure_old = "--measure-old-clamp" in argv
+    if measure_old:
+        argv.remove("--measure-old-clamp")
+    dirs = argv
+    if not dirs:
+        print(__doc__, file=sys.stderr)
+        return 2
+    spark = get_spark()
+    for d in dirs:
+        _e, n, width, cand = _adaptive_cand(spark, d)
+        pairs = cand.count()
+        old_b = min(16, max(ADAPT_MIN_B, int(n).bit_length()))
+        row = {
+            "dir": d,
+            "n": n,
+            "band_width": width,
+            "cand_pairs": pairs,
+            "pairs_per_vector": round(pairs / n, 3),
+            "old_clamp_b": old_b,
+            "old_clamp_expected_pairs":
+                round(ADAPT_BANDS * n * (n - 1) / 2 / (1 << old_b)),
+        }
+        if measure_old and old_b < width:
+            # counterfactual: the SAME pipeline pinned to the r7 clamp —
+            # measured, not estimated
+            _e2, _n2, _w2, cand_old = _adaptive_cand(spark, d, force_width=old_b)
+            old_pairs = cand_old.count()
+            row["old_clamp_measured_pairs"] = old_pairs
+            row["old_clamp_pairs_per_vector"] = round(old_pairs / n, 3)
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
