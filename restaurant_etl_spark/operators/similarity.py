@@ -166,8 +166,8 @@ _DUCK_SIG = _duck_sig(N_BITS)
     "similarity_lsh_candidates",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_DUCK_SIG} AS sig FROM e),
-    bands AS (
+    s AS MATERIALIZED (SELECT vec_id, v, {_DUCK_SIG} AS sig FROM e),
+    bands AS MATERIALIZED (
         {" UNION ALL ".join(
             f"SELECT vec_id, v, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, {BAND_BITS + 1}), "
@@ -314,14 +314,23 @@ def _guard_exact_baseline(df: DataFrame, name: str) -> None:
 
 @register(
     "dedup_embedding_cosine",
+    # the oracle precomputes each vector's norm ONCE in a materialized CTE
+    # and evaluates the pair dot product once (VERDICT r7 #2: the naive
+    # form paid 2 dots + 4 norms per pair — ~6× the FLOPs — putting the
+    # sf1 run at hours). Same expressions, same FP values, same hash;
+    # only common-subexpression staging changed.
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_DUCK_DOT.format(a='a.v', b='b.v')}
-                 / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}), 4) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_DUCK_DOT.format(a='a.v', b='b.v')}
-          / ({_DUCK_NORM.format(a='a.v')} * {_DUCK_NORM.format(a='b.v')}) >= 0.3
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding AS v,
+               {_DUCK_NORM.format(a='embedding')} AS nrm
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS c
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 4) AS cos FROM p WHERE c >= 0.3
     """,
     category="dedup",
 )
@@ -334,12 +343,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZE-GUARDED: refuses inputs above EXACT_BASELINE_MAX_ROWS (200k)
     rather than silently attempting O(n²) — calibration runs happen at
     small scale factors by design; production dedup is
-    dedup_embedding_keep."""
-    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    dedup_embedding_keep.
+
+    Per-vector norms are computed ONCE before the pair join (mirrored in
+    the oracle's materialized CTE): the naive per-pair cosine paid 2
+    dots + 4 norms per pair — identical values, ~6× the FLOPs, and at
+    sf1's 200M pairs the difference between a bounded run and hours."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _norm(_dvec("embedding")).alias("nrm"),
+    )
     _guard_exact_baseline(e, "dedup_embedding_cosine")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(_dvec("va"), _dvec("vb"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 4).alias("cos"), cos.alias("__raw"))
@@ -361,8 +379,8 @@ KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
     "dedup_embedding_keep_fixedband",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    s AS (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig FROM e),
-    bands AS (
+    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig FROM e),
+    bands AS MATERIALIZED (
         {" UNION ALL ".join(
             f"SELECT vec_id, v, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, {KEEP_BAND_BITS + 1}), "
@@ -1135,6 +1153,11 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
 
 @register(
     "dedup_embedding_keep",
+    # s and bands are MATERIALIZED: the signature CTE is referenced by two
+    # band branches which the cand stage self-joins — without
+    # materialization DuckDB re-evaluates the (expensive, 64-bit) sig up
+    # to 4× per run, the CTE re-evaluation class ORACLE_SF1_r07.log
+    # caught on the recall report. Values are unchanged; only staging.
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     bw AS (
@@ -1142,8 +1165,8 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
                      length(bin(count(*))))) AS b
         FROM e
     ),
-    s AS (SELECT vec_id, v, {_duck_sig(ADAPT_MAX_BITS)} AS sig FROM e),
-    bands AS (
+    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(ADAPT_MAX_BITS)} AS sig FROM e),
+    bands AS MATERIALIZED (
         {" UNION ALL ".join(
             f"SELECT vec_id, v, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, bw.b + 1), "

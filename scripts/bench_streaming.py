@@ -1,0 +1,178 @@
+"""Live-path streaming bench (VERDICT r7 #6): every streaming operator is
+benched via its batch twin in bench.py; this sibling measures the LIVE
+micro-batch path — per-batch latency and rows/s — so streaming perf
+regressions become visible round-over-round.
+
+Workloads (both drain real multi-batch streams with availableNow +
+maxFilesPerTrigger, metrics from StreamingQueryProgress — Spark's own
+per-trigger accounting, not wall-clock guesswork):
+
+  * ``session_windows_rocksdb`` — watermarked per-user session windows
+    (streaming/jobs.py:session_agg) over the staged events source, run
+    under the RocksDB state store provider (the 100 TB state backend),
+    append mode (closed sessions emitted as the watermark passes).
+  * ``cdc_sink_rocksdb`` — the full CDC write path: change files →
+    watermarked dropDuplicatesWithinWatermark (real state traffic) →
+    foreachBatch MERGE with the exactly-once ledger
+    (streaming/cdc.py:cdc_apply_sink), auto-compaction policy live.
+
+Prints ONE JSON line; the driver-style artifact is committed as
+STREAMING_BENCH_r{N}.json. Usage:
+
+    python scripts/bench_streaming.py [sf_dir]     # default sf0.1
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.session import get_spark
+from restaurant_etl_spark.sources.tables import load_table
+from restaurant_etl_spark.streaming.cdc import CDC_SCHEMA, cdc_apply_sink, read_target
+from restaurant_etl_spark.streaming.jobs import session_agg
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+SCRATCH = "/tmp/spark_graft_stream_bench"
+
+
+def _progress_metrics(q) -> dict:
+    """Aggregate per-trigger metrics from the query's own progress log.
+    Zero-input triggers (the final empty sweep availableNow runs) are
+    excluded from latency stats but reported as n_empty."""
+    rows = 0
+    lat = []
+    empty = 0
+    for p in q.recentProgress:
+        n = p.get("numInputRows", 0)
+        d = (p.get("durationMs") or {}).get("triggerExecution")
+        if n and d is not None:
+            rows += n
+            lat.append(d)
+        elif d is not None:
+            empty += 1
+    total_s = sum(lat) / 1000.0
+    return {
+        "batches": len(lat),
+        "empty_triggers": empty,
+        "rows": rows,
+        "rows_per_sec": round(rows / total_s, 1) if total_s else None,
+        "batch_ms": {
+            "min": min(lat) if lat else None,
+            "median": round(statistics.median(lat), 1) if lat else None,
+            "max": max(lat) if lat else None,
+        },
+    }
+
+
+def bench_session_windows(spark, sf_dir: str) -> dict:
+    src = os.path.join(SCRATCH, "events_src")
+    ckpt = os.path.join(SCRATCH, "events_ckpt")
+    # stage events as 16 files -> 8 micro-batches of 2 files each
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = session_agg(stream)
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("session-window drain did not finish")
+    return _progress_metrics(q)
+
+
+def bench_cdc_sink(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    src = os.path.join(SCRATCH, "cdc_src")
+    tgt = os.path.join(SCRATCH, "cdc_tgt")
+    ckpt = os.path.join(SCRATCH, "cdc_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # batch 0 bulk-inserts every order; later batches update/increment/delete
+    # rotating key slices — each merge rewrites the target through the
+    # hash shuffle, the production fragmentation pattern auto-compaction
+    # (every 8 batches) repairs mid-stream
+    base = orders.select(
+        F.lit("insert").alias("op"),
+        F.col("o_orderkey").alias("m_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+        (F.col("o_orderkey") * 100).alias("change_id"),
+        F.lit(t0).alias("ts"),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    for b in range(1, n_batches):
+        delta = (
+            orders.filter(F.col("o_orderkey") % n_batches == b)
+            .select(
+                F.when(F.col("o_orderkey") % 17 == 0, "delete")
+                .when(F.col("o_orderkey") % 3 == 0, "increment")
+                .otherwise("update")
+                .alias("op"),
+                F.col("o_orderkey").alias("m_key"),
+                F.lit(f"U{b}").alias("new_status"),
+                (F.col("o_totalprice") % 1000).alias("new_price"),
+                (F.col("o_orderkey") * 100 + b).alias("change_id"),
+                F.lit(t0 + dt.timedelta(minutes=b)).alias("ts"),
+            )
+        )
+        delta.coalesce(1).write.mode("append").parquet(src)
+
+    schema = CDC_SCHEMA + ", change_id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["change_id"])
+        .select("op", "m_key", "new_status", "new_price")
+    )
+    q = cdc_apply_sink(stream, tgt, ckpt, compact_every=8)
+    if not q.awaitTermination(900):
+        q.stop()
+        raise TimeoutError("CDC drain did not finish")
+    m = _progress_metrics(q)
+    m["target_rows"] = read_target(spark, tgt).count()
+    return m
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    spark = get_spark("bench_streaming")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    result = {
+        "metric": "streaming_bench",
+        "spark_version": spark.version,
+        "state_store": "rocksdb",
+        "workloads": {
+            "session_windows_rocksdb": bench_session_windows(spark, sf_dir),
+            "cdc_sink_rocksdb": bench_cdc_sink(spark, sf_dir),
+        },
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,10 +74,15 @@ KEY_OFFSETS: dict[str, dict[str, int]] = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def _shift_keys(tbl: pa.Table, offsets: dict[str, int], k: int) -> pa.Table:
+def _shift_keys(
+    tbl: pa.Table, offsets: dict[str, int], k: int, offset_mult: int = 1
+) -> pa.Table:
     for col, off in offsets.items():
         idx = tbl.schema.get_field_index(col)
-        shifted = pc.add(tbl.column(col), pa.scalar(k * off, tbl.schema.field(col).type))
+        shifted = pc.add(
+            tbl.column(col),
+            pa.scalar(k * off * offset_mult, tbl.schema.field(col).type),
+        )
         tbl = tbl.set_column(idx, tbl.schema.field(col), shifted)
     return tbl
 
@@ -161,7 +166,7 @@ def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
 
 def make_scale_point(
     src: str, dst: str, mult: int, skew: bool = False,
-    tables: list[str] | None = None,
+    tables: list[str] | None = None, offset_mult: int = 1,
 ) -> None:
     """``tables`` (r8, VERDICT r7 #1): restrict the ×mult duplication to
     the named fact tables; every other table is copied as-is. Used to
@@ -191,7 +196,7 @@ def make_scale_point(
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         copies = []
         for k in range(mult):
-            t = _shift_keys(base, offsets, k)
+            t = _shift_keys(base, offsets, k, offset_mult)
             if name == "documents":
                 t = _copy_documents(t, k, skew=skew)
             elif name == "embeddings":
@@ -217,9 +222,16 @@ def main() -> int:
     ap.add_argument("--tables", default=None,
                     help="comma-separated fact tables to scale; the rest "
                          "are copied as-is (per-family scale points)")
+    ap.add_argument("--offset-mult", type=int, default=1,
+                    help="multiply every per-domain key offset (r8: REQUIRED "
+                         "when re-scaling an already-scaled point — e.g. "
+                         "sf1 -> sf10 needs --offset-mult 10, because sf1's "
+                         "key ranges already span mult x offset and plain "
+                         "offsets would collide: k1+k2 sums repeat)")
     args = ap.parse_args()
     tables = [t for t in args.tables.split(",") if t] if args.tables else None
-    make_scale_point(args.src, args.dst, args.mult, skew=args.skew, tables=tables)
+    make_scale_point(args.src, args.dst, args.mult, skew=args.skew, tables=tables,
+                     offset_mult=args.offset_mult)
     return 0
 
 

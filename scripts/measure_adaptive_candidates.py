@@ -44,16 +44,33 @@ def main() -> int:
     if not dirs:
         print(__doc__, file=sys.stderr)
         return 2
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_spark.operators.similarity import _dvec, cosine
+
     spark = get_spark()
     for d in dirs:
         _e, n, width, cand = _adaptive_cand(spark, d)
-        pairs = cand.count()
+        # split candidates into TRUE near-dups (cos >= 0.3 — the keep-list's
+        # verified output, a data property that any correct dedup must
+        # examine) and WASTE (random band collisions — the quantity the
+        # adaptive width bounds at Θ(n)): the Θ(n) claim is about waste.
+        agg = cand.agg(
+            F.count("*").alias("pairs"),
+            F.sum(
+                (cosine(_dvec("va"), _dvec("vb")) >= 0.3).cast("long")
+            ).alias("dups"),
+        ).first()
+        pairs, dups = int(agg["pairs"]), int(agg["dups"] or 0)
         old_b = min(16, max(ADAPT_MIN_B, int(n).bit_length()))
         row = {
             "dir": d,
             "n": n,
             "band_width": width,
             "cand_pairs": pairs,
+            "true_dup_pairs": dups,
+            "waste_pairs": pairs - dups,
+            "waste_per_vector": round((pairs - dups) / n, 3),
             "pairs_per_vector": round(pairs / n, 3),
             "old_clamp_b": old_b,
             "old_clamp_expected_pairs":
@@ -65,7 +82,7 @@ def main() -> int:
             _e2, _n2, _w2, cand_old = _adaptive_cand(spark, d, force_width=old_b)
             old_pairs = cand_old.count()
             row["old_clamp_measured_pairs"] = old_pairs
-            row["old_clamp_pairs_per_vector"] = round(old_pairs / n, 3)
+            row["old_clamp_waste_per_vector"] = round((old_pairs - dups) / n, 3)
         print(json.dumps(row), flush=True)
     return 0
 
