@@ -240,7 +240,7 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            'mp3' AS container,
-           CAST(doc_id % 100000 * 20 + 2000 AS INTEGER) AS duration_ms,
+           CAST(doc_id % 500 * 20 + 2000 AS INTEGER) AS duration_ms,
            CAST(CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 320 END
                 AS INTEGER) AS bitrate_kbps,
            44100 AS sample_rate,
@@ -264,9 +264,15 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         for pdf in batches:
+            # duration modulus 500 (not the id range): a CBR MP3 carries
+            # duration × bitrate REAL bytes, so row size must be bounded
+            # by the fixture formula, not by how large doc_ids grow —
+            # doc_id % 100000 * 20 ms at sf1's 10^7-range ids meant 80 MB
+            # rows, overflowing Arrow's 2 GiB int32-offset binary chunks
+            # in the worker (r8, caught by the sf1 full-registry oracle)
             content = [
                 make_mp3(
-                    int(did) % 100000 * 20 + 2000,
+                    int(did) % 500 * 20 + 2000,
                     (64, 128, 320)[int(did) % 3],
                     mono=int(did) % 2 == 0,
                 )

@@ -71,13 +71,22 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
 
 @register(
     "similarity_topk_cosine",
+    # per-row norms are hoisted out of the q × corpus product in BOTH
+    # engines (r8, VERDICT r7 #4): the per-pair cosine re-derived both
+    # norms, tripling the FLOPs of the corpus scan. Same expressions,
+    # same FP values, same hashes — only common-subexpression staging.
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {QUERY_ID_CAP}),
+    WITH en AS MATERIALIZED (
+        SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM en
+          WHERE vec_id % 100 = 0 AND vec_id < {QUERY_ID_CAP}),
     scored AS (
         SELECT q_id, e.vec_id,
                round({_DUCK_DOT.format(a='qv', b='e.embedding')}
-                     / ({_DUCK_NORM.format(a='qv')} * {_DUCK_NORM.format(a='e.embedding')}), 4) AS cos
-        FROM q JOIN embeddings e ON e.vec_id <> q_id
+                     / (qn * e.nrm), 4) AS cos
+        FROM q JOIN en e ON e.vec_id <> q_id
     )
     SELECT q_id, vec_id, cos, CAST(rn AS INTEGER) AS rn FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
@@ -91,10 +100,16 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at N_QUERIES=128 — see QUERY_ID_CAP): broadcast the query set,
     scan the corpus once, window top-k per query. With the fixed-size
     query set the scan is O(corpus); this is the exact baseline ANN
-    variants are measured against."""
-    e = _emb(spark, sf_dir)
+    variants are measured against. Corpus norms are computed once per
+    row (query norms once per query) instead of once per (q, vec) pair —
+    identical values, one third the FLOPs on the O(corpus) scan."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _norm(_dvec("embedding")).alias("nrm")
+    )
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < QUERY_ID_CAP)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -102,7 +117,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(_dvec("qv"), _dvec("embedding")), 4).alias("cos"),
+            F.round(
+                _dot(_dvec("qv"), _dvec("embedding")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")

@@ -260,12 +260,17 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
                     small = px[::scale, ::scale]
                     out.append((mid, encode_ppm(small), small.shape[1], small.shape[0]))
                 else:
-                    # STUB path for codec-dependent formats
-                    w = meta["width"] if meta is not None else None
-                    h = meta["height"] if meta is not None else None
-                    scale = max(1, (max(w or max_side, h or max_side)) // max_side)
+                    # STUB path for codec-dependent formats. A width or
+                    # height of 0 is DATA, not absence — only a missing
+                    # meta struct falls back to max_side. (r8: the former
+                    # `w or max_side` treated 0 as missing and diverged
+                    # from the closed-form oracle at text lengths ≡ 0 mod
+                    # 640/480 — a class no doc below sf1 happened to hit.)
+                    w = meta["width"] if meta is not None else max_side
+                    h = meta["height"] if meta is not None else max_side
+                    scale = max(1, max(w, h) // max_side)
                     thumb = raw[:: scale * 4] or raw[:1]
-                    out.append((mid, thumb, (w or max_side) // scale, (h or max_side) // scale))
+                    out.append((mid, thumb, w // scale, h // scale))
             yield pd.DataFrame(out, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
 
     return media.filter(F.col("kind") == "image").mapInPandas(_resize, THUMB_SCHEMA)

@@ -80,21 +80,52 @@ Data grows 10x, so <=10x growth = at-or-below linear scaling.
   pair-driven hot correction) is linear: work ∝ Σ below-cap df² with
   the DF cap bounding every posting list.
 - **`dedup_embedding_keep` is the corpus-adaptive band-width path
-  (promoted r7, VERDICT r6 #1)**: B = clamp(bit_length(n), 8, 16)
-  resolved to a plan-time constant from the corpus count (the oracle
-  computes the same integer bin-length in SQL; no log2 FP edge),
-  measured 1.31 candidate pairs/vector at n=2k and 1.08 at n=20k —
-  Θ(n) by construction across the decade. The old fixed-24-bit
+  (promoted r7; widened r8, VERDICT r7 #1)**: B = clamp(bit_length(n),
+  8, 32) over a 64-bit hyperplane signature, resolved to a plan-time
+  constant from the corpus count (the oracle computes the same integer
+  bin-length in SQL; no log2 FP edge). The r7 32-bit signature capped B
+  at 16, silently re-quadratizing random collisions past n≈65k — one
+  decade beyond the then-largest test. r8 measured the fix on dedicated
+  embeddings scale points (`make_sfN.py --tables embeddings`,
+  `scripts/measure_adaptive_candidates.py`, waste = candidates failing
+  the cosine verify, i.e. pure random band collisions):
+
+  | n | B | waste pairs/vector (new clamp) | waste/vector @ pinned B=16 (old clamp, measured) |
+  |---|---|---|---|
+  | 2k | 11 | 1.24 | = (clamp inactive) |
+  | 20k | 15 | 0.99 | = (clamp inactive) |
+  | 200k | 18 | 1.43 | 5.52 |
+  | 1M | 20 | 2.26 | 28.22 |
+
+  Waste stays Θ(1)/vector across 2.7 decades (bound: 2·n/2^bit_length(n)
+  ≤ 2, plus hyperplane-correlation slack) while the old clamp's waste
+  grows ∝ n — 12.5× worse at 1M and diverging. True near-dup pairs are
+  counted separately (they are the operator's OUTPUT — at 1M the
+  rotation-wrap construction yields 3.8M genuine duplicate pairs, a data
+  property any correct dedup must examine). Oracle hash-green through
+  n=200k (the largest cross-engine-checked point). The fixed-24-bit
   formulation survives as the labeled calibration twin
   `dedup_embedding_keep_fixedband`; its random-collision candidate set
   is quadratic (measured 1,373 pairs at n=2k -> 144,922 at n=20k ≈
   2·C(n,2)/2^12, runtime ~11x/decade) — kept ONLY for pinned-width
-  recall calibration, never production.
+  recall calibration, never production, and **r8: moved OUT of the
+  headline bench into the calibration-only suite**
+  (SPARK_GRAFT_BENCH_CALIBRATION=1; VERDICT r7 #5), so headline totals
+  before/after r8 differ by its absence.
 - Queries growing well below 10x are constant-cost-dominated at this
   SF (planning, tiny dims, shuffle setup) — the plan scales.
 - The only quadratic op left anywhere is the labeled exact baseline
   `dedup_embedding_cosine`, hard-capped with a clear error above its
-  documented row cap.
+  documented row cap (r8: per-vector norms hoisted out of the pair
+  product in both engines — identical values, ~6× fewer FLOPs — so the
+  sf1 full-registry oracle run is bounded; `similarity_topk_cosine`
+  got the same hoist on its O(corpus) scan, ~3× fewer FLOPs).
+- Streaming live-path numbers (per-trigger latency / rows/s for the
+  RocksDB session windows and the CDC MERGE sink with live
+  auto-compaction) are benched by `scripts/bench_streaming.py` and
+  recorded in STREAMING_BENCH_r{N}.json — the batch twins in this
+  sweep measure plan throughput; that artifact measures the micro-batch
+  machinery itself.
 - r7: money aggregates ride the exact DECIMAL grid in both engines
   (`functions/money.py`) after the sf1 oracle replica caught DOUBLE
   summation drift crossing a cent on q7/q9 (ORACLE_SF1_r07.log) —
