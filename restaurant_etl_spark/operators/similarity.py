@@ -65,8 +65,40 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
-_DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+# Oracle-side dot/norm as UNROLLED flat chains (r8, same treatment as
+# _duck_sig): ``list_sum(list_transform(...))`` pays DuckDB's per-element
+# lambda machinery 64× per evaluation — measured ~560 candidate pairs/s on
+# the LSH verify stage, which put the sf1 (100× pairs) oracle run at ~46
+# min for ONE query and the 200M-pair exact-cosine oracle at hours. A flat
+# left-associative ``a[1]*b[1] + a[2]*b[2] + …`` chain is BIT-IDENTICAL
+# (list_sum folds sequentially; SQL ``+`` associates left — the same
+# argument, and the same hash-equality verification, as the signature
+# chains) and executes as 127 vectorized expression nodes instead of 64
+# interpreted lambda calls. Verified: identical oracle hashes for all 11
+# embedding-family queries at sf0.01 and sf0.1 before/after the swap.
+#
+# SCOPE: the flat form is used ONLY where the operands are columns of a
+# MATERIALIZED CTE over the base table (the pair-verify hot paths, where
+# per-pair counts are large). Referencing an UNMATERIALIZED CTE's
+# list-typed column (IVF centroids `cv`, Lloyd round vectors) 64× per
+# chain makes DuckDB's planner re-expand the producing subplan per
+# element reference — the composed recall-report/RAG oracles exhausted
+# the allocator at sf0.01 DURING PLANNING. Those low-pair-count contexts
+# (n × ncentroids) keep the lambda form (_DUCK_DOT_L / _DUCK_NORM_L).
+#
+# The SPARK side keeps the higher-order-function dot (zip_with +
+# aggregate): measured 5× FASTER than an element_at chain on 5M pairs
+# (2.6 s vs 14.1 s; the unrolled chain knocks the stage out of
+# whole-stage codegen). Spark's bottleneck was never the fold — it was
+# the single-partition BNLJ (see dedup_embedding_cosine's repartition).
+_DUCK_DOT = "(" + " + ".join(
+    f"{{a}}[{i}]::DOUBLE * {{b}}[{i}]::DOUBLE" for i in range(1, DIM + 1)
+) + ")"
+_DUCK_NORM = "sqrt(" + " + ".join(
+    f"{{a}}[{i}]::DOUBLE * {{a}}[{i}]::DOUBLE" for i in range(1, DIM + 1)
+) + ")"
+_DUCK_DOT_L = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+_DUCK_NORM_L = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
 
 
 @register(
@@ -191,28 +223,39 @@ _DUCK_SIG = _duck_sig(N_BITS)
 
 @register(
     "similarity_lsh_candidates",
+    # r8 restructure (sf1 full-registry run): the former cand CTE pushed
+    # BOTH 64-dim vectors through DISTINCT (1 KB/collision through the
+    # dedup hash table) and re-derived dot + 2 norms per pair in both the
+    # WHERE and the SELECT via interpreted lambdas — ~560 pairs/s, ~46 min
+    # at sf1's ~1.5M collisions. Now: DISTINCT on ids only, per-vector
+    # norms hoisted into the materialized s CTE, vectors re-fetched by two
+    # id joins, cosine computed ONCE. Same pairs, same FP values, same
+    # hashes — only staging.
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    s AS MATERIALIZED (SELECT vec_id, v, {_DUCK_SIG} AS sig FROM e),
+    s AS MATERIALIZED (SELECT vec_id, v, {_DUCK_SIG} AS sig,
+                       {_DUCK_NORM.format(a='v')} AS nrm FROM e),
     bands AS MATERIALIZED (
         {" UNION ALL ".join(
-            f"SELECT vec_id, v, {k} AS band_idx, "
+            f"SELECT vec_id, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, {BAND_BITS + 1}), "
             f"r -> sig[{k * BAND_BITS} + r] * (1 << (r - 1))), 'sum') AS band FROM s"
             for k in range(N_BANDS)
         )}
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) AS c
+        FROM cand
+        JOIN s sa ON sa.vec_id = cand.id_a
+        JOIN s sb ON sb.vec_id = cand.id_b
     )
-    SELECT id_a, id_b,
-           round({_DUCK_DOT.format(a='va', b='vb')}
-                 / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}), 4) AS cos
-    FROM cand
-    WHERE {_DUCK_DOT.format(a='va', b='vb')}
-          / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}) >= 0.2
+    SELECT id_a, id_b, round(c, 4) AS cos FROM scored WHERE c >= 0.2
     """,
     category="similarity",
 )
@@ -220,9 +263,14 @@ def similarity_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate generation: 16-bit random-hyperplane signature,
     2 bands × 8 bits, bucket self-join, exact cosine re-rank (keep ≥ 0.2).
     At 100 TB only signatures shuffle (16 ints/row); full vectors are
-    fetched for candidate pairs alone."""
+    fetched for candidate pairs alone — the bucket self-join carries ids
+    ONLY (r8: vectors formerly rode through the pair DISTINCT at 1 KB per
+    collision; now two narrow id joins fetch them for the verify stage,
+    and per-vector norms are computed once per row, not per pair)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-    s = e.select("vec_id", "v", F.expr(_SPARK_SIG).alias("sig"))
+    s = e.select(
+        "vec_id", "v", F.expr(_SPARK_SIG).alias("sig"), _norm(_dvec("v")).alias("nrm")
+    )
     band_val = [
         F.expr(
             f"aggregate(sequence(1, {BAND_BITS}), 0, "
@@ -230,7 +278,7 @@ def similarity_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{k}")
         for k in range(N_BANDS)
     ]
-    bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+    bands = s.select("vec_id", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -243,15 +291,28 @@ def similarity_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .distinct()
     )
-    cos = cosine(_dvec("va"), _dvec("vb"))
-    return cand.select("id_a", "id_b", F.round(cos, 4).alias("cos")).filter(
-        cos >= 0.2
-    ).select("id_a", "id_b", "cos")
+    sa = s.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    sb = s.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb"))).alias("__raw"),
+        )
+    )
+    return (
+        scored.filter(F.col("__raw") >= 0.2)
+        .select("id_a", "id_b", F.round(F.col("__raw"), 4).alias("cos"))
+    )
 
 
 @register(
@@ -269,8 +330,8 @@ def similarity_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT e.vec_id, e.label,  c.c_label,
-               round({_DUCK_DOT.format(a='e.v', b='c.cv')}
-                     / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) AS cos
+               round({_DUCK_DOT_L.format(a='e.v', b='c.cv')}
+                     / ({_DUCK_NORM_L.format(a='e.v')} * {_DUCK_NORM_L.format(a='c.cv')}), 4) AS cos
         FROM e CROSS JOIN cent c
     )
     SELECT vec_id, label, c_label AS nearest_centroid, cos FROM (
@@ -382,7 +443,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(_dvec("embedding")).alias("nrm"),
     )
     _guard_exact_baseline(e, "dedup_embedding_cosine")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    # The `<` join is a BroadcastNestedLoopJoin that PARALLELIZES BY THE
+    # STREAMED SIDE'S PARTITIONS; a small corpus read from one parquet
+    # file is one partition, putting all n² comparisons on one core
+    # (measured: >19 min at sf1 single-task). Spreading the streamed side
+    # across the session's shuffle width makes the quadratic work use the
+    # whole cluster — same pairs, same values, order-insensitive hash.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.repartition(n_parts).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb"))
     return (
@@ -404,26 +474,31 @@ KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
 
 @register(
     "dedup_embedding_keep_fixedband",
+    # r8: ids-only candidate DISTINCT + hoisted per-vector norms + flat
+    # dot chain (see similarity_lsh_candidates) — identical pairs/values/
+    # hashes, bounded verify stage at the sf1 collision counts.
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig FROM e),
+    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(KEEP_BITS)} AS sig,
+                       {_DUCK_NORM.format(a='v')} AS nrm FROM e),
     bands AS MATERIALIZED (
         {" UNION ALL ".join(
-            f"SELECT vec_id, v, {k} AS band_idx, "
+            f"SELECT vec_id, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, {KEEP_BAND_BITS + 1}), "
             f"r -> sig[{k * KEEP_BAND_BITS} + r] * (1 << (r - 1))), 'sum') AS band FROM s"
             for k in range(KEEP_BANDS)
         )}
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
     ),
     dup AS (
         SELECT id_a, id_b FROM cand
-        WHERE {_DUCK_DOT.format(a='va', b='vb')}
-              / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}) >= 0.3
+        JOIN s sa ON sa.vec_id = cand.id_a
+        JOIN s sb ON sb.vec_id = cand.id_b
+        WHERE {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
     )
     SELECT e.vec_id,
            coalesce(min(d.id_a), e.vec_id) AS canonical_id,
@@ -456,7 +531,12 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
     (band_idx, band) and (vec_id), output is one row per vector. No
     all-pairs comparison anywhere."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-    s = e.select("vec_id", "v", F.expr(_spark_sig(KEEP_BITS)).alias("sig"))
+    s = e.select(
+        "vec_id",
+        "v",
+        F.expr(_spark_sig(KEEP_BITS)).alias("sig"),
+        _norm(_dvec("v")).alias("nrm"),
+    )
     band_val = [
         F.expr(
             f"aggregate(sequence(1, {KEEP_BAND_BITS}), 0, "
@@ -464,7 +544,7 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias(f"band{k}")
         for k in range(KEEP_BANDS)
     ]
-    bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+    bands = s.select("vec_id", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -477,12 +557,21 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .distinct()
     )
-    dup = cand.filter(cosine(_dvec("va"), _dvec("vb")) >= 0.3).select("id_a", "id_b")
+    sa = s.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    sb = s.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dup = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(_dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
     return (
         e.join(dup, e.vec_id == dup.id_b, "left")
         .groupBy("vec_id")
@@ -508,8 +597,8 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT vec_id, c_label FROM (
             SELECT e.vec_id, c.c_label,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round({_DUCK_DOT.format(a='e.v', b='c.cv')}
-                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       round({_DUCK_DOT_L.format(a='e.v', b='c.cv')}
+                             / ({_DUCK_NORM_L.format(a='e.v')} * {_DUCK_NORM_L.format(a='c.cv')}), 4) DESC,
                        c.c_label) AS rn
             FROM e CROSS JOIN cent c) t
         WHERE rn = 1
@@ -519,16 +608,16 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT q_id, qv, c_label FROM (
             SELECT q.q_id, q.qv, c.c_label,
                    row_number() OVER (PARTITION BY q.q_id ORDER BY
-                       round({_DUCK_DOT.format(a='q.qv', b='c.cv')}
-                             / ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       round({_DUCK_DOT_L.format(a='q.qv', b='c.cv')}
+                             / ({_DUCK_NORM_L.format(a='q.qv')} * {_DUCK_NORM_L.format(a='c.cv')}), 4) DESC,
                        c.c_label) AS rn
             FROM q CROSS JOIN cent c) t
         WHERE rn <= 3
     ),
     scored AS (
         SELECT p.q_id, e.vec_id,
-               round({_DUCK_DOT.format(a='p.qv', b='e.v')}
-                     / ({_DUCK_NORM.format(a='p.qv')} * {_DUCK_NORM.format(a='e.v')}), 4) AS cos
+               round({_DUCK_DOT_L.format(a='p.qv', b='e.v')}
+                     / ({_DUCK_NORM_L.format(a='p.qv')} * {_DUCK_NORM_L.format(a='e.v')}), 4) AS cos
         FROM probes p
         JOIN assign a ON a.c_label = p.c_label
         JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.q_id
@@ -607,8 +696,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DUCK_COS = (
-    f"round({_DUCK_DOT.format(a='{a}', b='{b}')}"
-    f" / ({_DUCK_NORM.format(a='{a}')} * {_DUCK_NORM.format(a='{b}')}), 4)"
+    f"round({_DUCK_DOT_L.format(a='{a}', b='{b}')}"
+    f" / ({_DUCK_NORM_L.format(a='{a}')} * {_DUCK_NORM_L.format(a='{b}')}), 4)"
 )
 
 #: Lloyd refinement rounds for the sqrt(n)-cell IVF (VERDICT r3 #7).
@@ -630,8 +719,8 @@ def _duck_lloyd_rounds(rounds: int) -> str:
         SELECT vec_id, cell_id, v FROM (
             SELECT e.vec_id, p.{prev_cell} AS cell_id, e.v,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round({_DUCK_DOT.format(a='e.v', b=f'p.{prev_vec}')}
-                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a=f'p.{prev_vec}')}), 4) DESC,
+                       round({_DUCK_DOT_L.format(a='e.v', b=f'p.{prev_vec}')}
+                             / ({_DUCK_NORM_L.format(a='e.v')} * {_DUCK_NORM_L.format(a=f'p.{prev_vec}')}), 4) DESC,
                        p.{prev_cell}) AS rn
             FROM e CROSS JOIN {prev} p) t
         WHERE rn = 1
@@ -948,8 +1037,8 @@ def ivf_append_batch(
         SELECT vec_id, c_cell FROM (
             SELECT e.vec_id, c.c_cell,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round({_DUCK_DOT.format(a='e.v', b='c.cv')}
-                             / ({_DUCK_NORM.format(a='e.v')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       round({_DUCK_DOT_L.format(a='e.v', b='c.cv')}
+                             / ({_DUCK_NORM_L.format(a='e.v')} * {_DUCK_NORM_L.format(a='c.cv')}), 4) DESC,
                        c.c_cell) AS rn
             FROM e CROSS JOIN cent c) t
         WHERE rn = 1
@@ -959,16 +1048,16 @@ def ivf_append_batch(
         SELECT q_id, qv, c_cell FROM (
             SELECT q.q_id, q.qv, c.c_cell,
                    row_number() OVER (PARTITION BY q.q_id ORDER BY
-                       round({_DUCK_DOT.format(a='q.qv', b='c.cv')}
-                             / ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 4) DESC,
+                       round({_DUCK_DOT_L.format(a='q.qv', b='c.cv')}
+                             / ({_DUCK_NORM_L.format(a='q.qv')} * {_DUCK_NORM_L.format(a='c.cv')}), 4) DESC,
                        c.c_cell) AS rn
             FROM q CROSS JOIN cent c) t
         WHERE rn <= 3
     ),
     scored AS (
         SELECT p.q_id, e.vec_id,
-               round({_DUCK_DOT.format(a='p.qv', b='e.v')}
-                     / ({_DUCK_NORM.format(a='p.qv')} * {_DUCK_NORM.format(a='e.v')}), 4) AS cos
+               round({_DUCK_DOT_L.format(a='p.qv', b='e.v')}
+                     / ({_DUCK_NORM_L.format(a='p.qv')} * {_DUCK_NORM_L.format(a='e.v')}), 4) AS cos
         FROM probes p
         JOIN assign a ON a.c_cell = p.c_cell
         JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> p.q_id
@@ -1192,10 +1281,11 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
                      length(bin(count(*))))) AS b
         FROM e
     ),
-    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(ADAPT_MAX_BITS)} AS sig FROM e),
+    s AS MATERIALIZED (SELECT vec_id, v, {_duck_sig(ADAPT_MAX_BITS)} AS sig,
+                       {_DUCK_NORM.format(a='v')} AS nrm FROM e),
     bands AS MATERIALIZED (
         {" UNION ALL ".join(
-            f"SELECT vec_id, v, {k} AS band_idx, "
+            f"SELECT vec_id, {k} AS band_idx, "
             f"list_aggregate(list_transform(range(1, bw.b + 1), "
             f"r -> sig[{k} * bw.b + r] * (CAST(1 AS BIGINT) << (r - 1))), 'sum') AS band "
             f"FROM s, bw"
@@ -1203,14 +1293,15 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
         )}
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
     ),
     dup AS (
         SELECT id_a, id_b FROM cand
-        WHERE {_DUCK_DOT.format(a='va', b='vb')}
-              / ({_DUCK_NORM.format(a='va')} * {_DUCK_NORM.format(a='vb')}) >= 0.3
+        JOIN s sa ON sa.vec_id = cand.id_a
+        JOIN s sb ON sb.vec_id = cand.id_b
+        WHERE {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
     )
     SELECT e.vec_id,
            coalesce(min(d.id_a), e.vec_id) AS canonical_id,
@@ -1256,7 +1347,9 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside buckets, min-id canonical per vector — one keep/drop row per
     vector."""
     e, _n, _width, cand = _adaptive_cand(spark, sf_dir)
-    dup = cand.filter(cosine(_dvec("va"), _dvec("vb")) >= 0.3).select("id_a", "id_b")
+    dup = cand.filter(
+        _dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= 0.3
+    ).select("id_a", "id_b")
     return (
         e.join(dup, e.vec_id == dup.id_b, "left")
         .groupBy("vec_id")
@@ -1272,12 +1365,21 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
     ``scripts/measure_adaptive_candidates.py`` so the Θ(n) claim is
     measured on EXACTLY the production pipeline. Returns
     ``(e, n, band_width, cand)`` — ``cand`` is the DISTINCT bucket-join
-    pair set (id_a < id_b) with both vectors attached. ``force_width``
-    pins B (measurement-only: the counterfactual old-clamp run)."""
+    pair set (id_a < id_b) with both vectors AND their precomputed norms
+    attached (va/vb/na/nb). The bucket self-join and the pair DISTINCT
+    carry ids only (r8: vectors formerly rode through the DISTINCT hash
+    table at 1 KB per collision); vectors/norms are re-fetched by two
+    narrow id joins for the verify stage. ``force_width`` pins B
+    (measurement-only: the counterfactual old-clamp run)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
     n = e.count()  # plan-time stat (catalog/footer lookup at scale)
     width = force_width or min(ADAPT_MAX_B, max(ADAPT_MIN_B, int(n).bit_length()))
-    s = e.select("vec_id", "v", F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig"))
+    s = e.select(
+        "vec_id",
+        "v",
+        F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig"),
+        _norm(_dvec("v")).alias("nrm"),
+    )
     band_val = [
         F.expr(
             f"aggregate(sequence(1, {width}), CAST(0 AS BIGINT), "
@@ -1285,10 +1387,10 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
         ).alias(f"band{k}")
         for k in range(ADAPT_BANDS)
     ]
-    bands = s.select("vec_id", "v", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+    bands = s.select("vec_id", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
     left = bands.alias("a")
     right = bands.alias("b")
-    cand = (
+    ids = (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1298,11 +1400,16 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .distinct()
     )
+    sa = s.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    sb = s.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cand = ids.join(sa, "id_a").join(sb, "id_b")
     return e, n, width, cand
 
 
