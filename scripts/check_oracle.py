@@ -66,6 +66,16 @@ def main() -> int:
     only = set(args[1:])
 
     con = duckdb.connect()
+    # An in-memory DuckDB defaults to memory_limit = 80% of RAM with NO
+    # temp directory — it cannot spill, so a heavy pair oracle grows until
+    # the kernel OOM-kills the whole run (observed at sf1: 110 GB RSS on
+    # dedup_containment with a 24 GB Spark JVM alongside). Cap the budget
+    # below RAM-minus-JVM and give it a spill dir so big hash joins
+    # gracefully go out-of-core instead.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '60GB')}'")
+    spill = "/tmp/duckdb_oracle_spill"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
