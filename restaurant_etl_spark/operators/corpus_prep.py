@@ -361,13 +361,19 @@ def _funnel_oracle() -> str:
     from restaurant_etl_spark.operators.dedup import _registered_oracle
     from restaurant_etl_spark.operators.text_analysis import _STOP_SQL
 
+    # s, mh, and c are MATERIALIZED: the final six-branch UNION references
+    # c seven times and c pulls the whole minhash keep-list pipeline in
+    # through flags — unmaterialized, DuckDB re-evaluated the entire
+    # shingle/minhash subtree per branch (the CTE re-evaluation class the
+    # r7 recall-report ENOSPC fix documented) and spilled >66 GB at sf10.
+    # Values unchanged; only staging.
     return f"""
     WITH t AS (
         SELECT doc_id, text,
                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
         FROM documents
     ),
-    s AS (
+    s AS MATERIALIZED (
         SELECT doc_id,
                length(text) > 0 AS nonempty,
                len(toks) AS n_tokens,
@@ -377,7 +383,7 @@ def _funnel_oracle() -> str:
                md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_hash
         FROM t
     ),
-    mh AS ({_registered_oracle("dedup_minhash_keep")}),
+    mh AS MATERIALIZED ({_registered_oracle("dedup_minhash_keep")}),
     flags AS (
         SELECT s.doc_id,
                s.nonempty,
@@ -389,7 +395,7 @@ def _funnel_oracle() -> str:
                coalesce(mh.is_kept, TRUE) AS near_kept
         FROM s LEFT JOIN mh ON s.doc_id = mh.doc_id
     ),
-    c AS (
+    c AS MATERIALIZED (
         SELECT count(*) AS n_raw,
                sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS n2,
                sum(CASE WHEN nonempty AND quality THEN 1 ELSE 0 END) AS n3,

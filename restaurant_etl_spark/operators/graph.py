@@ -36,12 +36,19 @@ TOP_K = 20
 
 def _oracle_sql() -> str:
     """Unrolled power iteration (r1..rN as chained CTEs) so DuckDB can
-    express the exact same fixed-iteration PageRank."""
+    express the exact same fixed-iteration PageRank.
+
+    Every stage is MATERIALIZED (r8): unmaterialized, the r1→r2→r3 chain
+    inlines `en` (and through it the co-purchase self-join `e`) once PER
+    ITERATION, and each `(SELECT n FROM nn)` re-derives deg→e→items — at
+    sf10's ~240M pre-aggregation edge rows the re-evaluations spilled
+    >66 GB and ENOSPC'd (the CTE re-evaluation class from the r7
+    recall-report fix). Values unchanged; only staging."""
     prev = "r0"
     iters = []
     for it in range(1, N_ITER + 1):
         iters.append(
-            f"""r{it} AS (
+            f"""r{it} AS MATERIALIZED (
         SELECT en.dst AS pk,
                {TELEPORT} / (SELECT n FROM nn) + {DAMPING} * sum({prev}.r * en.p) AS r
         FROM en JOIN {prev} ON en.src = {prev}.pk
@@ -51,19 +58,19 @@ def _oracle_sql() -> str:
         prev = f"r{it}"
     chain = ",\n    ".join(iters)
     return f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS DOUBLE) AS w
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
         GROUP BY a.pk, b.pk
     ),
-    deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
-    en AS (SELECT e.src, e.dst, e.w / deg.outw AS p
+    deg AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+    en AS MATERIALIZED (SELECT e.src, e.dst, e.w / deg.outw AS p
            FROM e JOIN deg ON e.src = deg.src),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-    r0 AS (SELECT src AS pk, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS MATERIALIZED (SELECT src AS pk, 1.0 / (SELECT n FROM nn) AS r FROM deg),
     {chain}
     SELECT pk AS l_partkey,
            round({prev}.r * (SELECT n FROM nn), 4) AS rank_scaled

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from restaurant_etl_spark.functions.money import PRICE_DEC, sum_money
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -61,7 +62,7 @@ INSERT_MOD = 83
     )
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
     category="warehouse",
@@ -120,9 +121,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
         )
     )
+    # sum on the exact DECIMAL grid, not DOUBLE (functions/money.py class:
+    # at sf10 the per-status totals reach ~1.2e12 and the DOUBLE fold
+    # drifted 5 cents off the oracle — every merged price is an exact
+    # 2-dec value, so the decimal sum is exact in both engines)
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        sum_money(F.col("o_totalprice").cast(PRICE_DEC), "sum_price"),
     )
 
 
@@ -273,7 +278,7 @@ def _relational_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
     )
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
     FROM s2 GROUP BY o_orderstatus
     """,
     category="warehouse",
@@ -365,7 +370,7 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = _relational_merge(s1, c2.dropDuplicates())
     return s2.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        sum_money(F.col("o_totalprice").cast(PRICE_DEC), "sum_price"),
     )
 
 
