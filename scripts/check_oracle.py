@@ -7,12 +7,25 @@ and sorted). Exit code 1 if anything mismatches.
 
 Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
         python scripts/check_oracle.py [sf_dir] --pagerank-margins [query ...]
+        python scripts/check_oracle.py [sf_dir] --fingerprint q1,q2 [query ...]
 
 ``--pagerank-margins`` additionally runs the PageRank FP-margin guard
 (graph.pagerank_rank_margins) at the given sf_dir and fails the run if
 the rank-20/21 gap or any top rank's distance from a 4-dp rounding
 half-boundary falls inside FP slack — the scale-sweep arm of
 tests/test_warehouse_graph.py::test_pagerank_margins_clear_fp_slack.
+
+``--fingerprint`` (VERDICT r8 #2) lists queries whose result sets are too
+large to collect through the driver (e.g. dedup_simhash's ~105M pair rows
+at sf10): for those, each ENGINE computes an aggregate fingerprint over
+its own result — COUNT(*) plus two independent order-insensitive 60-bit
+hash sums (md5 of the '|'-joined canonical row, chars 1-15 and 17-31,
+summed exactly in >=128-bit integer arithmetic) — and only the three
+scalars cross the driver. Same discriminating power class as the full
+hash compare (order-insensitive content equality), restricted to
+integer/string/boolean output columns where both engines' CAST-to-string
+is bit-identical; a query with float/decimal/list columns is refused
+loudly rather than fingerprinted wrong.
 """
 
 from __future__ import annotations
@@ -59,9 +72,83 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], str, in
     return sorted_cols, h, len(rows)
 
 
+#: Spark types whose CAST(col AS STRING) is bit-identical to DuckDB's
+#: CAST(col AS VARCHAR) — the precondition for in-engine fingerprinting.
+#: Floats/decimals/lists render differently per engine and are refused.
+_FP_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
+
+
+def _fingerprint_spark(sdf):
+    """(count, hsum1, hsum2) computed INSIDE Spark — no rows reach the
+    driver. Canonical row = sorted-by-name columns cast to string,
+    NULL → '<NULL>', joined with '|' (the collect-path canonicalization
+    for int/string/bool values)."""
+    from pyspark.sql import functions as F
+
+    for f in sdf.schema.fields:
+        if f.dataType.simpleString() not in _FP_SAFE_TYPES:
+            raise TypeError(
+                f"fingerprint mode needs int/string/boolean columns; "
+                f"{f.name} is {f.dataType.simpleString()}"
+            )
+    cols = sorted(sdf.columns)
+    s = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    )
+    # conv() is unsigned-64-bit safe for 15 hex chars (60 bits); the sums
+    # accumulate exactly in DECIMAL(38,0) (105M rows * 2^60 ~ 1e26 << 1e38)
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
+    h2 = F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("decimal(38,0)")
+    row = (
+        sdf.select(h1.alias("h1"), h2.alias("h2"))
+        .agg(F.count("*").alias("n"), F.sum("h1").alias("s1"), F.sum("h2").alias("s2"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["s1"] or 0), int(row["s2"] or 0)
+
+
+def _fingerprint_duck(con, sql: str, cols: list[str]):
+    """Same three scalars computed INSIDE DuckDB over the oracle query.
+    sum(BIGINT) widens to HUGEINT (128-bit), so the 60-bit row hashes
+    accumulate exactly. ``cols`` is the Spark result's column list — the
+    DuckDB projection must expose the same names (schema parity is part
+    of the gate; a missing name errors here)."""
+    canon = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '<NULL>')" for c in sorted(cols)
+    )
+    res = con.execute(
+        f"""
+        SELECT count(*) AS n,
+               sum(('0x' || substr(md5(s), 1, 15))::BIGINT) AS s1,
+               sum(('0x' || substr(md5(s), 17, 15))::BIGINT) AS s2
+        FROM (SELECT {canon} AS s FROM ({sql}) fp_inner) fp_rows
+        """
+    ).fetchone()
+    return int(res[0]), int(res[1] or 0), int(res[2] or 0)
+
+
+def _default_duckdb_mem() -> str:
+    """min(60GB, 50% of physical RAM): the old flat 60GB default RAISED
+    DuckDB's own 80%-of-RAM limit on small hosts, inviting the OOM killer
+    instead of preventing it (ADVICE r8). DUCKDB_MEM still overrides."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        half_gb = max(1, pages // (2 * 1024**3))
+    except (ValueError, OSError, AttributeError):
+        half_gb = 60
+    return f"{min(60, half_gb)}GB"
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--pagerank-margins"]
-    check_margins = "--pagerank-margins" in sys.argv[1:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    check_margins = "--pagerank-margins" in flags
+    fingerprint: set[str] = set()
+    for fl in flags:
+        if fl.startswith("--fingerprint="):
+            fingerprint = set(fl.split("=", 1)[1].split(","))
+        elif fl == "--fingerprint":
+            raise SystemExit("use --fingerprint=q1,q2 (equals form)")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -72,7 +159,7 @@ def main() -> int:
     # dedup_containment with a 24 GB Spark JVM alongside). Cap the budget
     # below RAM-minus-JVM and give it a spill dir so big hash joins
     # gracefully go out-of-core instead.
-    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '60GB')}'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', _default_duckdb_mem())}'")
     spill = "/tmp/duckdb_oracle_spill"
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
@@ -82,12 +169,60 @@ def main() -> int:
     spark = get_spark("oracle-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if fingerprint:
+        print(
+            f"fingerprint mode for {sorted(fingerprint)}: each engine "
+            "computes COUNT + two order-insensitive 60-bit md5 hash sums "
+            "in-engine; only 3 scalars cross the driver (no pair list is "
+            "ever collected)"
+        )
 
     failures, passed, rows_only = [], 0, 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in fingerprint:
+            if name not in oracles:
+                failures.append((name, "fingerprint query has no oracle"))
+                print(f"FAIL  {name}: fingerprint query has no oracle")
+                continue
+            try:
+                sdf = fn(spark, sf_dir)
+                scols = sorted(sdf.columns)
+                s_fp = _fingerprint_spark(sdf)
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"SPARK ERROR: {e}"))
+                print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+                continue
+            try:
+                dcols = sorted(
+                    r[0] for r in con.execute(
+                        f"DESCRIBE ({oracles[name]})"
+                    ).fetchall()
+                )
+                d_fp = _fingerprint_duck(con, oracles[name], sdf.columns)
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"DUCKDB ERROR: {e}"))
+                print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+                continue
+            problems = []
+            if scols != dcols:
+                problems.append(f"cols {scols} != {dcols}")
+            if s_fp[0] != d_fp[0]:
+                problems.append(f"rows {s_fp[0]} != {d_fp[0]}")
+            if s_fp[1:] != d_fp[1:]:
+                problems.append("fingerprint hash-sum mismatch")
+            if problems:
+                failures.append((name, "; ".join(problems)))
+                print(f"FAIL  {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
+            else:
+                passed += 1
+                print(
+                    f"ok    {name}: {s_fp[0]} rows fingerprint="
+                    f"{s_fp[1] % 2**64:016x}  (in-engine, {time.time()-t0:.1f}s)"
+                )
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()

@@ -1,0 +1,71 @@
+"""The in-engine fingerprint compare mode (VERDICT r8 #2): queries whose
+result sets are too large to collect (dedup_simhash emits ~105M pair rows
+at sf10) are verified by COUNT + two order-insensitive 60-bit md5 hash
+sums computed INSIDE each engine — only three scalars cross the driver.
+
+These tests pin the mode's contract: (a) it agrees with the collect-path
+full hash compare on a real query, (b) a single changed value with an
+UNCHANGED row count is caught, (c) row-order permutations are invisible
+(order-insensitivity), and (d) non-integer/string/boolean columns are
+refused loudly instead of fingerprinted wrong.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from check_oracle import _fingerprint_duck, _fingerprint_spark  # noqa: E402
+
+from restaurant_etl_spark.operators.registry import load_all  # noqa: E402
+
+
+def _oracle(name: str) -> str:
+    return load_all()[name].oracle
+
+
+def test_fingerprint_matches_on_green_query(spark, duck, sf_dir):
+    sdf = load_all()["dedup_simhash"].fn(spark, sf_dir)
+    s_fp = _fingerprint_spark(sdf)
+    d_fp = _fingerprint_duck(duck, _oracle("dedup_simhash"), sdf.columns)
+    assert s_fp == d_fp
+    assert s_fp[0] > 0  # non-degenerate: the corpus does have near-dup pairs
+
+
+def test_fingerprint_catches_single_value_change(spark, duck, sf_dir):
+    """One hamming value bumped by 1 on one pair: row count unchanged,
+    both hash sums must move."""
+    sdf = load_all()["dedup_simhash"].fn(spark, sf_dir)
+    s_fp = _fingerprint_spark(sdf)
+    base = _oracle("dedup_simhash")
+    mutated = (
+        "SELECT doc_a, doc_b, CASE WHEN doc_a = "
+        f"(SELECT min(doc_a) FROM ({base}) m) THEN hamming + 1 "
+        f"ELSE hamming END AS hamming FROM ({base}) t"
+    )
+    d_fp = _fingerprint_duck(duck, mutated, sdf.columns)
+    assert s_fp[0] == d_fp[0]  # counts agree — count alone would miss it
+    assert s_fp[1] != d_fp[1]
+    assert s_fp[2] != d_fp[2]
+
+
+def test_fingerprint_is_order_insensitive(duck):
+    a = _fingerprint_duck(
+        duck, "SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(i, s)", ["i", "s"]
+    )
+    b = _fingerprint_duck(
+        duck, "SELECT * FROM (VALUES (3, 'z'), (1, 'x'), (2, 'y')) t(i, s)", ["i", "s"]
+    )
+    assert a == b
+
+
+def test_fingerprint_refuses_float_columns(spark):
+    df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS d")
+    with pytest.raises(TypeError, match="fingerprint mode"):
+        _fingerprint_spark(df)
