@@ -35,42 +35,67 @@ TOP_K = 20
 
 
 def _oracle_sql() -> str:
-    """Unrolled power iteration (r1..rN as chained CTEs) so DuckDB can
-    express the exact same fixed-iteration PageRank.
+    """Unrolled power iteration (x/s/r CTE triples per round) so DuckDB
+    can express the exact same fixed-iteration PageRank.
 
-    Every stage is MATERIALIZED (r8): unmaterialized, the r1→r2→r3 chain
-    inlines `en` (and through it the co-purchase self-join `e`) once PER
-    ITERATION, and each `(SELECT n FROM nn)` re-derives deg→e→items — at
-    sf10's ~240M pre-aggregation edge rows the re-evaluations spilled
-    >66 GB and ENOSPC'd (the CTE re-evaluation class from the r7
-    recall-report fix). Values unchanged; only staging."""
+    Order-incidence formulation (r9, VERDICT r8 #7): the co-purchase
+    edge table is never built. For weighted PageRank on the co-purchase
+    graph, w(src,dst) = #orders containing both, so
+
+        contrib(dst) = Σ_src r(src)·w(src,dst)/outw(src)
+                     = Σ_{orders o ∋ dst} ( S(o) − x(dst) )
+
+    with x(p) = r(p)/outw(p) and S(o) = Σ_{p∈o} x(p) — i.e. one
+    order-keyed aggregation and one part-keyed aggregation per round
+    over the ITEMS table (O(|items|)), instead of a join over the edge
+    table (O(Σ sz²) ≈ 240M pre-agg rows at sf10, whose one-time
+    materialization + 200M-group hash agg dominated the 711 s sf10
+    oracle run). Orders with a single distinct part have no edges and
+    are dropped up front (sz >= 2), which keeps the node set — and the
+    teleport denominator n — identical to the edge formulation.
+    outw(p) = Σ_{o∋p}(sz−1) is an exact integer in doubles. Every stage
+    is MATERIALIZED (the sf10 CTE re-evaluation class, r8)."""
     prev = "r0"
     iters = []
     for it in range(1, N_ITER + 1):
         iters.append(
-            f"""r{it} AS MATERIALIZED (
-        SELECT en.dst AS pk,
-               {TELEPORT} / (SELECT n FROM nn) + {DAMPING} * sum({prev}.r * en.p) AS r
-        FROM en JOIN {prev} ON en.src = {prev}.pk
-        GROUP BY en.dst
+            f"""x{it} AS MATERIALIZED (
+        SELECT deg.pk, {prev}.r / deg.outw AS x, deg.cnt
+        FROM deg JOIN {prev} ON deg.pk = {prev}.pk
+    ),
+    s{it} AS MATERIALIZED (
+        SELECT i.ok, sum(x{it}.x) AS s
+        FROM items i JOIN x{it} ON i.pk = x{it}.pk
+        GROUP BY i.ok
+    ),
+    r{it} AS MATERIALIZED (
+        SELECT t.pk,
+               {TELEPORT} / (SELECT n FROM nn)
+               + {DAMPING} * (t.ssum - x{it}.cnt * x{it}.x) AS r
+        FROM (SELECT i.pk, sum(s{it}.s) AS ssum
+              FROM items i JOIN s{it} ON i.ok = s{it}.ok
+              GROUP BY i.pk) t
+        JOIN x{it} ON x{it}.pk = t.pk
     )"""
         )
         prev = f"r{it}"
     chain = ",\n    ".join(iters)
     return f"""
-    WITH items AS MATERIALIZED (
+    WITH items0 AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ),
-    e AS MATERIALIZED (
-        SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS DOUBLE) AS w
-        FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
-        GROUP BY a.pk, b.pk
+    sz AS MATERIALIZED (SELECT ok, count(*) AS sz FROM items0 GROUP BY ok),
+    items AS MATERIALIZED (
+        SELECT i.ok, i.pk, sz.sz FROM items0 i JOIN sz ON i.ok = sz.ok
+        WHERE sz.sz >= 2
     ),
-    deg AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src),
-    en AS MATERIALIZED (SELECT e.src, e.dst, e.w / deg.outw AS p
-           FROM e JOIN deg ON e.src = deg.src),
+    deg AS MATERIALIZED (
+        SELECT pk, CAST(sum(sz - 1) AS DOUBLE) AS outw,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM items GROUP BY pk
+    ),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-    r0 AS MATERIALIZED (SELECT src AS pk, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    r0 AS MATERIALIZED (SELECT pk, 1.0 / (SELECT n FROM nn) AS r FROM deg),
     {chain}
     SELECT pk AS l_partkey,
            round({prev}.r * (SELECT n FROM nn), 4) AS rank_scaled
@@ -118,50 +143,66 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scaled_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_partkey, rank_raw): UNROUNDED scaled PageRank for every node —
     shared by the registered query (rounds to 4 dp) and the FP-margin
-    guard (which must see the raw doubles)."""
+    guard (which must see the raw doubles).
+
+    Order-incidence formulation (r9): contrib(dst) =
+    Σ_{orders o ∋ dst}(S(o) − x(dst)) with x(p) = r(p)/outw(p),
+    S(o) = Σ_{p∈o} x(p) — algebraically identical to the edge-join
+    power step (w(src,dst) = #shared orders), but each iteration is two
+    shuffle joins + two keyed aggs over the ITEMS table (O(|items|),
+    ~60M rows at sf10) instead of a join over the materialized edge
+    table (O(Σ sz²) ≈ 200M+ rows at sf10, the old localCheckpoint).
+    The loop invariant that gets materialized once is now item-sized."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
+    items0 = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    a, b = items.alias("a"), items.alias("b")
-    # the weighted edge list is the index-build step: materialize the
-    # co-purchase self-join exactly ONCE — deg and en both derive from it
-    # (without this, the two eager checkpoints below each re-ran the
-    # self-join from the lineitem scan)
-    e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count("*").cast("double").alias("w"))
-        .localCheckpoint()
+    sz = items0.groupBy("ok").agg(F.count("*").alias("sz"))
+    # orders with one distinct part have no co-purchase edges: dropping
+    # them up front keeps the node set (and teleport denominator n)
+    # identical to the edge formulation. This is the loop invariant every
+    # iteration scans twice — materialize it exactly once.
+    items = (
+        items0.join(sz, "ok").filter(F.col("sz") >= 2).localCheckpoint()
     )
-    # the node table (out-degrees) feeds the edge normalization, the rank
-    # initialization, AND the N scalar (cross-joined once per iteration):
-    # materialize it once, node-sized — otherwise every consumer re-derives
-    # the aggregation (12 redundant scans in the executed plan before
-    # these checkpoints)
-    deg = e.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint()
-    # loop invariant: normalized transition edges, materialized once
-    en = (
-        e.join(deg, "src")
-        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+    # node table: out-degree outw(p) = Σ_{o∋p}(sz−1) (an exact integer in
+    # doubles — identical to the old Σ_dst w) and cnt(p) = #qualifying
+    # orders containing p, the multiplicity of the self-exclusion term
+    deg = (
+        items.groupBy("pk")
+        .agg(
+            F.sum(F.col("sz") - 1).cast("double").alias("outw"),
+            F.count("*").cast("double").alias("cnt"),
+        )
         .localCheckpoint()
     )
     nn = deg.agg(F.count("*").cast("double").alias("n"))
 
-    ranks = deg.select("src").crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("pk"), (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = deg.select("pk").crossJoin(F.broadcast(nn)).select(
+        "pk", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(N_ITER):
-        contribs = (
-            en.join(ranks, en.src == ranks.pk)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("p")).alias("contrib"))
+        x = deg.join(ranks, "pk").select(
+            "pk", (F.col("r") / F.col("outw")).alias("x"), "cnt"
         )
-        ranks = contribs.crossJoin(F.broadcast(nn)).select(
-            F.col("dst").alias("pk"),
+        s = (
+            items.select("ok", "pk")
+            .join(x, "pk")
+            .groupBy("ok")
+            .agg(F.sum("x").alias("s"))
+        )
+        t = (
+            items.select("ok", "pk")
+            .join(s, "ok")
+            .groupBy("pk")
+            .agg(F.sum("s").alias("ssum"))
+        )
+        ranks = t.join(x, "pk").crossJoin(F.broadcast(nn)).select(
+            "pk",
             (
                 F.lit(TELEPORT) / F.col("n")
-                + F.lit(DAMPING) * F.col("contrib")
+                + F.lit(DAMPING)
+                * (F.col("ssum") - F.col("cnt") * F.col("x"))
             ).alias("r"),
         )
     return ranks.crossJoin(F.broadcast(nn)).select(
@@ -186,7 +227,21 @@ def pagerank_rank_margins(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) 
     ``min_half_dist_grid`` — the minimum distance of any top_k+1 value
     from the nearest .xxxx5 rounding half-boundary (a value ON the
     boundary rounds differently under Spark's HALF_UP vs DuckDB's
-    scaled-nearbyint). Driver-side work is top_k+1 rows."""
+    scaled-nearbyint). Driver-side work is top_k+1 rows.
+
+    An EXACTLY-zero cutoff gap is the SAFE case, not the cliff (r9,
+    measured at sf10): make_sfN's key-remapped corpus copies produce
+    isomorphic twin parts whose ranks are computed by identical
+    arithmetic, so the top-20 boundary can land inside a tied twin
+    group. Rows whose ROUNDED values are equal are selected by the
+    l_partkey tiebreak — a pure integer comparison, identical in both
+    engines — so the output is deterministic as long as the rounding
+    itself is stable (the half-dist guard). The danger the gap guard
+    exists for is a TINY-BUT-NONZERO gap: two genuinely distinct
+    doubles separated by ulps, where engine-dependent summation order
+    could swap which raw value is larger AND the two could round to
+    different grid points. Hence: gap > slack (clearly separated) or
+    gap == 0.0 (exact twin tie) passes; 0 < gap <= slack fails."""
     top = (
         _scaled_ranks(spark, sf_dir)
         .orderBy(F.desc("rank_raw"), "l_partkey")
@@ -200,6 +255,6 @@ def pagerank_rank_margins(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) 
         "cutoff_gap_grid": cutoff_gap,
         "min_half_dist_grid": min(half_dists),
         "slack_grid": MARGIN_SLACK_GRID,
-        "ok": cutoff_gap > MARGIN_SLACK_GRID
+        "ok": (cutoff_gap > MARGIN_SLACK_GRID or cutoff_gap == 0.0)
         and min(half_dists) > MARGIN_SLACK_GRID,
     }

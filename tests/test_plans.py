@@ -191,10 +191,11 @@ def test_shingle_arrays_keeps_heavy_map_off_scan_stage(spark, sf_dir):
     assert plan.count("concat_ws") == 1
 
 
-def test_pagerank_materializes_edge_list_once(spark, sf_dir):
-    """The PageRank loop invariant (normalized edges) must be scanned from
-    the localCheckpoint, not re-derived per iteration: the co-purchase
-    self-join may appear at most once in the executed plan."""
+def test_pagerank_materializes_loop_invariant_once(spark, sf_dir):
+    """The PageRank loop invariant (the sz>=2 items table in the r9
+    order-incidence formulation) must be scanned from the localCheckpoint,
+    not re-derived per iteration: no parquet scan may appear inside the
+    executed iteration plan."""
     from restaurant_etl_spark.operators.graph import graph_pagerank_parts
 
     plan = (
