@@ -900,7 +900,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str):
 
     cent, assign = _ivf_sqrtn_build(spark, sf_dir)
     try:
-        tmp = f"{idx_dir}.build.{os.getpid()}"
+        tmp = _private_build_dir(idx_dir)
         cent.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
         assign.sortWithinPartitions("c_cell").write.mode("overwrite").parquet(
             os.path.join(tmp, "inverted")
@@ -919,6 +919,24 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str):
 #: appended-since-build fraction beyond which an append triggers a full
 #: Lloyd rebuild instead (centroid drift: cells sized for the old corpus)
 IVF_REBUILD_FRACTION = 0.3
+
+
+def _private_build_dir(final_dir: str) -> str:
+    """Per-CALL private staging dir for the build→rename promotion
+    (VERDICT r8 #6). Keying the suffix on pid alone let two writers IN
+    THE SAME PROCESS (threads, or two maintenance jobs sharing a Spark
+    driver) stage into ONE tmp dir and promote a torn mix of both
+    builds; a uuid per call gives every writer its own staging area, so
+    the only shared step is the atomic ``os.rename`` — the loser gets
+    ENOTEMPTY and serves the winner's artifact. Readers only ever see
+    the final path, which appears fully formed or not at all
+    (rename atomicity); proven by tests/test_ivf_incremental.py's
+    two-writer and reader-mid-promotion tests, mirroring the CDC
+    compaction ledger contract."""
+    import os
+    import uuid
+
+    return f"{final_dir}.build.{os.getpid()}.{uuid.uuid4().hex[:8]}"
 
 
 def _link_or_copy_tree(src: str, dst: str) -> None:
@@ -981,7 +999,7 @@ def ivf_append_batch(
     base_rows = meta.get("rows") or spark.read.parquet(inv_p).count()
     built_rows = meta.get("built_rows") or base_rows
     m = b.count()
-    tmp = f"{new_dir}.build.{os.getpid()}"
+    tmp = _private_build_dir(new_dir)
 
     rebuilt = (base_rows + m - built_rows) / built_rows > IVF_REBUILD_FRACTION
     if rebuilt:

@@ -185,3 +185,112 @@ def test_chained_appends_accumulate_toward_rebuild(spark, sf_dir, index_cache):
     assert r2 is True, "cumulative appended fraction must trigger the rebuild"
     meta = sim._read_ivf_meta(d2)
     assert meta["built_rows"] == meta["rows"]
+
+
+# ---------------------------------------------------------------------------
+# Promotion race contract (VERDICT r8 #6): the atomic-rename promotion gets
+# the same two-writer + reader-mid-promotion proof the CDC compaction ledger
+# has (tests/test_streaming_cdc.py). Writers stage in per-CALL private dirs
+# (pid+uuid — pid alone let same-process writers share ONE staging dir and
+# promote a torn mix); the only shared step is os.rename, so the loser gets
+# ENOTEMPTY and serves the winner's artifact, and a reader polling the final
+# path sees it fully formed or not at all.
+# ---------------------------------------------------------------------------
+
+
+def test_two_writer_append_race_single_winner(spark, sf_dir, index_cache, monkeypatch):
+    import threading
+
+    base = ivf_index_path(spark, sf_dir)
+    n_base = spark.read.parquet(os.path.join(base, "inverted")).count()
+    batch = _twin_batch(spark, sf_dir, frac_mod=20)
+    n_batch = batch.count()
+    expected_dir = f"{base}+race"
+
+    a_staged = threading.Event()
+    b_done = threading.Event()
+    first_call = threading.Event()  # pause ONLY writer A's meta write
+    real_meta = sim._write_ivf_meta
+
+    def pausing_meta(tmp, meta):
+        real_meta(tmp, meta)
+        if not first_call.is_set():
+            first_call.set()
+            a_staged.set()          # A fully staged, one os.rename from done
+            assert b_done.wait(300), "writer B never finished"
+
+    monkeypatch.setattr(sim, "_write_ivf_meta", pausing_meta)
+    result_a: dict = {}
+
+    def writer_a():
+        result_a["dir"], result_a["rebuilt"] = ivf_append_batch(
+            spark, base, batch, tag="race"
+        )
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert a_staged.wait(300), "writer A never staged its build"
+    # reader mid-promotion: A's artifact is complete in its PRIVATE dir but
+    # the served path must not exist yet — readers see old-or-complete only
+    assert not os.path.exists(expected_dir)
+    staging = [d for d in os.listdir(os.path.dirname(base)) if ".build." in d]
+    assert staging, "A's staging dir should exist while paused"
+
+    # writer B races the same tag to completion while A is paused
+    dir_b, rebuilt_b = ivf_append_batch(spark, base, batch, tag="race")
+    assert dir_b == expected_dir and os.path.isdir(dir_b)
+    b_done.set()
+    ta.join(300)
+    assert not ta.is_alive()
+    monkeypatch.undo()
+
+    # single winner: both callers serve the SAME promoted artifact
+    assert result_a["dir"] == dir_b == expected_dir
+    # no torn index: exactly base + one batch (a shared staging dir would
+    # have accumulated BOTH writers' delta files)
+    assert spark.read.parquet(os.path.join(dir_b, "inverted")).count() == n_base + n_batch
+    # loser's staging dir was cleaned up — nothing half-promoted remains
+    leftovers = [d for d in os.listdir(os.path.dirname(base)) if ".build." in d]
+    assert leftovers == [], f"staging leftovers: {leftovers}"
+    # the artifact serves: appended twins reachable at cos 1.0
+    cent, assign = ivf_read_index(spark, dir_b)
+    q = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 20 == 0)
+        .limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    hits = _ivf_probe_topk(q, cent, assign).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert all(qid + 5_000_000 in vs for qid, vs in by_q.items())
+
+
+def test_concurrent_distinct_tag_appends_are_independent(spark, sf_dir, index_cache):
+    """Two maintenance jobs appending DIFFERENT batches under different
+    tags off the same base publish two independent artifacts — neither
+    sees the other's delta (per-call staging, immutable base)."""
+    import threading
+
+    base = ivf_index_path(spark, sf_dir)
+    n_base = spark.read.parquet(os.path.join(base, "inverted")).count()
+    b1 = _twin_batch(spark, sf_dir, frac_mod=20, offset=5_000_000)
+    b2 = _twin_batch(spark, sf_dir, frac_mod=25, offset=6_000_000)
+    n1, n2 = b1.count(), b2.count()
+    out: dict = {}
+
+    def run(tag, batch, key):
+        out[key] = ivf_append_batch(spark, base, batch, tag=tag)[0]
+
+    t1 = threading.Thread(target=run, args=("t1", b1, "d1"))
+    t2 = threading.Thread(target=run, args=("t2", b2, "d2"))
+    t1.start(); t2.start(); t1.join(300); t2.join(300)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert out["d1"] != out["d2"]
+    assert spark.read.parquet(os.path.join(out["d1"], "inverted")).count() == n_base + n1
+    assert spark.read.parquet(os.path.join(out["d2"], "inverted")).count() == n_base + n2
+    # base untouched
+    assert spark.read.parquet(os.path.join(base, "inverted")).count() == n_base
+    leftovers = [d for d in os.listdir(os.path.dirname(base)) if ".build." in d]
+    assert leftovers == []
