@@ -44,8 +44,38 @@ N_BANDS = 2
 BAND_BITS = N_BITS // N_BANDS
 
 
+#: sf_dirs whose embeddings table already passed the data contract this
+#: process (the check is one scan; pay it once per corpus, not per query)
+_EMB_CONTRACT_OK: set[str] = set()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """Load the embeddings table, enforcing the corpus data contract the
+    embedding-family queries silently assume (ADVICE r8): every
+    ``embedding`` is exactly DIM elements with no NULLs — the oracle's
+    flat ``a[1]*b[1] + …`` chains index exactly DIM positions and
+    propagate NULL, so a short/NULL-holding vector would score NULL and
+    the pair would be silently DROPPED instead of erroring — and
+    ``vec_id`` is unique — the ids-only candidate staging
+    (:func:`_adaptive_cand`, ``similarity_lsh_candidates``) re-fetches
+    vectors by vec_id and would emit duplicate scored rows otherwise.
+    A violating corpus fails loudly here, once per process per sf_dir."""
+    e = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _EMB_CONTRACT_OK:
+        bad = e.selectExpr(
+            f"count_if(embedding IS NULL OR size(embedding) != {DIM} "
+            "OR exists(embedding, x -> x IS NULL)) AS malformed",
+            "count(*) - count(DISTINCT vec_id) AS dup_ids",
+        ).collect()[0]
+        if bad["malformed"] or bad["dup_ids"]:
+            raise ValueError(
+                f"embeddings contract violated at {sf_dir}: "
+                f"{bad['malformed']} rows not exactly DIM={DIM} non-NULL floats, "
+                f"{bad['dup_ids']} duplicate vec_ids — the pair oracles would "
+                "silently drop or double-count these rows"
+            )
+        _EMB_CONTRACT_OK.add(sf_dir)
+    return e
 
 
 def _dvec(col: str) -> Column:
@@ -1387,7 +1417,10 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
     attached (va/vb/na/nb). The bucket self-join and the pair DISTINCT
     carry ids only (r8: vectors formerly rode through the DISTINCT hash
     table at 1 KB per collision); vectors/norms are re-fetched by two
-    narrow id joins for the verify stage. ``force_width`` pins B
+    narrow id joins for the verify stage — which assumes vec_id is
+    UNIQUE in the corpus (a duplicate would emit duplicate scored rows
+    where the old whole-row DISTINCT collapsed them; enforced loudly by
+    :func:`_emb`'s data contract, ADVICE r8). ``force_width`` pins B
     (measurement-only: the counterfactual old-clamp run)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
     n = e.count()  # plan-time stat (catalog/footer lookup at scale)

@@ -47,29 +47,47 @@ SCRATCH = "/tmp/spark_graft_stream_bench"
 def _progress_metrics(q) -> dict:
     """Aggregate per-trigger metrics from the query's own progress log.
     Zero-input triggers (the final empty sweep availableNow runs) are
-    excluded from latency stats but reported as n_empty."""
-    rows = 0
-    lat = []
+    excluded from latency stats but reported as n_empty.
+
+    Phase split (VERDICT r8 #4): the FIRST non-empty batch pays one-time
+    costs a long-lived stream amortizes — RocksDB state-store open, plan
+    codegen, first-file listing — and r8's pooled stats let that 3-4×
+    outlier sit inside the same min/max as the steady batches. Report it
+    as ``warmup`` and the rest as ``steady`` (throughput and latency are
+    steady-phase numbers); ``pooled`` keeps the r8-comparable view."""
+    rows_all, lat, row_counts = 0, [], []
     empty = 0
     for p in q.recentProgress:
         n = p.get("numInputRows", 0)
         d = (p.get("durationMs") or {}).get("triggerExecution")
         if n and d is not None:
-            rows += n
+            rows_all += n
             lat.append(d)
+            row_counts.append(n)
         elif d is not None:
             empty += 1
-    total_s = sum(lat) / 1000.0
+
+    def _stats(ls, rs):
+        total_s = sum(ls) / 1000.0
+        return {
+            "batches": len(ls),
+            "rows": sum(rs),
+            "rows_per_sec": round(sum(rs) / total_s, 1) if total_s else None,
+            "batch_ms": {
+                "min": min(ls) if ls else None,
+                "median": round(statistics.median(ls), 1) if ls else None,
+                "max": max(ls) if ls else None,
+            },
+        }
+
     return {
         "batches": len(lat),
         "empty_triggers": empty,
-        "rows": rows,
-        "rows_per_sec": round(rows / total_s, 1) if total_s else None,
-        "batch_ms": {
-            "min": min(lat) if lat else None,
-            "median": round(statistics.median(lat), 1) if lat else None,
-            "max": max(lat) if lat else None,
-        },
+        "rows": rows_all,
+        "warmup": {"batch_ms": lat[0] if lat else None,
+                   "rows": row_counts[0] if row_counts else None},
+        "steady": _stats(lat[1:], row_counts[1:]),
+        "pooled": _stats(lat, row_counts),
     }
 
 
@@ -155,19 +173,58 @@ def bench_cdc_sink(spark, sf_dir: str, n_batches: int = 10) -> dict:
     return m
 
 
+def _delta_vs_prev(workloads: dict, prev_path: str) -> dict | None:
+    """Round-over-round comparison against a committed prior artifact
+    (VERDICT r8 #4). Prior rounds pooled warm-up with steady batches, so
+    the comparable series is THIS round's pooled stats; once two phase-
+    split artifacts exist the steady phases compare directly."""
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)["workloads"]
+    except (OSError, ValueError, KeyError):
+        return None
+    out = {}
+    for wl, now in workloads.items():
+        p = prev.get(wl)
+        if not p:
+            continue
+        now_cmp = now.get("pooled", now)
+        p_cmp = p.get("pooled", p)  # r8 artifacts ARE pooled at top level
+        n_rps, p_rps = now_cmp.get("rows_per_sec"), p_cmp.get("rows_per_sec")
+        n_med = (now_cmp.get("batch_ms") or {}).get("median")
+        p_med = (p_cmp.get("batch_ms") or {}).get("median")
+        out[wl] = {
+            "prev_rows_per_sec": p_rps,
+            "rows_per_sec": n_rps,
+            "throughput_ratio": round(n_rps / p_rps, 3) if n_rps and p_rps else None,
+            "prev_median_batch_ms": p_med,
+            "median_batch_ms": n_med,
+        }
+    return out or None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    prev = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAMING_BENCH_r08.json",
+    )
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark = get_spark("bench_streaming")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    workloads = {
+        "session_windows_rocksdb": bench_session_windows(spark, sf_dir),
+        "cdc_sink_rocksdb": bench_cdc_sink(spark, sf_dir),
+    }
     result = {
         "metric": "streaming_bench",
         "spark_version": spark.version,
         "state_store": "rocksdb",
-        "workloads": {
-            "session_windows_rocksdb": bench_session_windows(spark, sf_dir),
-            "cdc_sink_rocksdb": bench_cdc_sink(spark, sf_dir),
-        },
+        "phases": "warmup = first non-empty batch (state-store open + codegen); "
+                  "steady = the rest; pooled = r8-comparable view",
+        "workloads": workloads,
+        "vs_prev": _delta_vs_prev(workloads, prev),
+        "prev_artifact": os.path.basename(prev),
         "sf_dir": sf_dir,
     }
     print(json.dumps(result))
