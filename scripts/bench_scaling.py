@@ -9,6 +9,11 @@ Usage: python scripts/bench_scaling.py [sf_dir ...] [--skew-dirs d1,d2,...]
        python scripts/bench_scaling.py --skew-only d1,d2   # re-bench ONLY the
          skew points and splice the skew section + narrative into the
          existing SCALING.md (uniform tables untouched)
+       python scripts/bench_scaling.py --decade-only d1,d2  # bench ONE extra
+         decade (e.g. sf1 -> sf10, VERDICT r8 #1) and splice its per-query
+         growth section into the existing SCALING.md; an existing section
+         for the same decade is replaced in place. Export SPARK_DRIVER_MEM
+         (48g for sf10) and SPARK_GRAFT_BENCH_ITERS before running.
 
 Scale-point dirs MUST contain a parseable "sf<N>" token (bench.py derives
 the scale factor from the path: spark_graft_sf1, spark_graft_sf0.1skew);
@@ -37,13 +42,13 @@ DEFAULT_SFS = [
 ]
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, timeout: int = 3600) -> dict:
     """Each SF runs in a FRESH interpreter/JVM so no cache, no broadcast
     reuse, and no shuffle files leak between scale points."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
     )
     lines = out.stdout.strip().splitlines()
     if out.returncode != 0 or not lines:
@@ -161,8 +166,87 @@ def _norm(r: dict) -> dict:
     return r
 
 
+def _decade_section(a: dict, b: dict) -> list[str]:
+    """Per-query growth table for ONE extra measured decade (the r9
+    sf1→sf10 splice mode). Mirrors the main per-query block but carries
+    its own header + provenance so re-splicing replaces it in place."""
+    data_ratio = b["sf"] / a["sf"]
+    lines = [
+        f"## Per-query growth {a['sf']} → {b['sf']} (data ×{data_ratio:.0f})",
+        "",
+        "Measured by `bench_scaling.py --decade-only` (fresh JVM per scale",
+        "point, steady = median of "
+        f"{os.environ.get('SPARK_GRAFT_BENCH_ITERS', '5')} plan-reuse re-runs,",
+        f"SPARK_DRIVER_MEM={os.environ.get('SPARK_DRIVER_MEM', 'default')}).",
+        "",
+        "| query | steady@{} | steady@{} | growth |".format(a["sf"], b["sf"]),
+        "|---|---|---|---|",
+    ]
+    for q in sorted(b["queries"], key=lambda q: -b["queries"][q]):
+        ta, tb = a["queries"].get(q), b["queries"][q]
+        if ta is None or ta <= 0:
+            growth = "—"
+        else:
+            g = tb / ta
+            growth = f"{g:.2f}×" + (" ⚠ super-linear" if g > data_ratio else "")
+        lines.append(f"| {q} | {ta} | {tb} | {growth} |")
+    lines += [
+        "",
+        f"steady_total {a['steady_total']} → {b['steady_total']} s "
+        f"({b['steady_total'] / a['steady_total']:.2f}× on ×{data_ratio:.0f} data); "
+        f"cold_total {a['cold_total']} → {b['cold_total']} s.",
+        "⚠ rows get the fresh-JVM envelope treatment "
+        "(`scripts/bench_query_envelope.py`) before being called scale problems.",
+    ]
+    return lines
+
+
+def _splice_decade(section: list[str]) -> None:
+    """Insert/replace the decade section in SCALING.md, leaving every
+    other committed table and narrative untouched."""
+    path = os.path.join(REPO, "SCALING.md")
+    body = open(path).read()
+    header = section[0]
+    start = body.find(header)
+    if start >= 0:  # replace the existing same-decade section in place
+        end = body.find("\n## ", start + 1)
+        tail = body[end:] if end >= 0 else "\n"
+        body = body[:start] + "\n".join(section) + "\n" + tail.lstrip("\n")
+    else:
+        anchor = body.find("## Skewed-corpus decade")
+        if anchor < 0:
+            anchor = body.find("## The sf=1.0 scale point")
+        if anchor < 0:
+            body = body.rstrip() + "\n\n" + "\n".join(section) + "\n"
+        else:
+            body = (
+                body[:anchor].rstrip()
+                + "\n\n" + "\n".join(section) + "\n\n"
+                + body[anchor:]
+            )
+    with open(path, "w") as f:
+        f.write(body)
+    print(f"spliced decade section into {path}")
+
+
 def main() -> int:
     argv = sys.argv[1:]
+    if "--decade-only" in argv:
+        i = argv.index("--decade-only")
+        dirs = [d for d in argv[i + 1].split(",") if d]
+        if len(dirs) != 2:
+            print("--decade-only needs exactly two dirs (comma-separated)",
+                  file=sys.stderr)
+            return 2
+        results = []
+        for d in dirs:
+            r = _norm(run_bench(d, timeout=10800))
+            results.append(r)
+            print(json.dumps({"sf": r["sf"], "steady_total": r["steady_total"],
+                              "cold_total": r["cold_total"],
+                              "errors": r["errors"]}))
+        _splice_decade(_decade_section(results[0], results[1]))
+        return 0
     skew_dirs: list[str] = []
     skew_only = False
     if "--skew-only" in argv:
