@@ -30,7 +30,14 @@ POOL = 8  # 64 dims → 8 pooled buckets of 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """Delegates to similarity's loader for the shared data contract
+    (DIM/no-NULL/unique vec_id) and the scan-parallelism floor — a
+    single-row-group corpus file otherwise pins these full-corpus maps
+    to one core (embedding_quantize_int8 measured 8.0 s steady at sf10
+    on 1 of 32 cores, r9 sweep)."""
+    from restaurant_etl_spark.operators import similarity as _sim
+
+    return _sim._emb(spark, sf_dir)
 
 
 def _dvec(col: str) -> Column:

@@ -44,9 +44,22 @@ N_BANDS = 2
 BAND_BITS = N_BITS // N_BANDS
 
 
-#: sf_dirs whose embeddings table already passed the data contract this
-#: process (the check is one scan; pay it once per corpus, not per query)
-_EMB_CONTRACT_OK: set[str] = set()
+#: sf_dir → corpus row count for corpora that already passed the data
+#: contract this process (the check is one scan; pay it once per corpus)
+_EMB_CONTRACT_OK: dict[str, int] = {}
+
+#: scan-parallelism floor (r9, found by the sf1→sf10 sweep): rows per
+#: scan partition before per-row scoring work. A single-row-group
+#: parquet file is UNSPLITTABLE, so a 200k-vector corpus arrived as ONE
+#: partition and the O(q·n) cosine scans (topk / hard negatives / keep
+#: verify) ran on one core — 33.7 s steady for similarity_topk_cosine at
+#: sf10, with 31 cores idle. When the scan yields fewer partitions than
+#: ceil(n / CHUNK), redistribute once; the shuffle is O(corpus bytes),
+#: amortized across the q×n scoring work that follows. Sized so small
+#: corpora (≤8k vectors) keep their single partition — zero plan change
+#: at sf0.001/0.01/0.1 — and a production corpus with a sane multi-file
+#: layout already exceeds the floor and never shuffles.
+_EMB_SCAN_CHUNK = 8192
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +79,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"count_if(embedding IS NULL OR size(embedding) != {DIM} "
             "OR exists(embedding, x -> x IS NULL)) AS malformed",
             "count(*) - count(DISTINCT vec_id) AS dup_ids",
+            "count(*) AS n",
         ).collect()[0]
         if bad["malformed"] or bad["dup_ids"]:
             raise ValueError(
@@ -74,7 +88,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{bad['dup_ids']} duplicate vec_ids — the pair oracles would "
                 "silently drop or double-count these rows"
             )
-        _EMB_CONTRACT_OK.add(sf_dir)
+        _EMB_CONTRACT_OK[sf_dir] = bad["n"]
+    n = _EMB_CONTRACT_OK[sf_dir]
+    want = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-n // _EMB_SCAN_CHUNK),  # ceil
+    )
+    if want > 1 and e.rdd.getNumPartitions() < want:
+        e = e.repartition(want)
     return e
 
 

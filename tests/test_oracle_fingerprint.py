@@ -69,3 +69,50 @@ def test_fingerprint_refuses_float_columns(spark):
     df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS d")
     with pytest.raises(TypeError, match="fingerprint mode"):
         _fingerprint_spark(df)
+
+
+# ---------------------------------------------------------------------------
+# Scan-parallelism floor (r9 sf1→sf10 sweep finding): a single-row-group
+# parquet corpus is unsplittable, so without the floor every O(q·n) scoring
+# stage inherits ONE partition regardless of spark.sql.files.maxPartitionBytes.
+# ---------------------------------------------------------------------------
+
+
+def test_emb_scan_floor_small_corpus_untouched(spark, sf_dir):
+    """Below the chunk size the plan must be byte-identical to the raw
+    scan — no repartition, no extra shuffle at the committed SFs."""
+    from restaurant_etl_spark.operators import similarity as sim
+
+    e = sim._emb(spark, sf_dir)  # sf0.001: 500 rows < _EMB_SCAN_CHUNK
+    assert "Exchange" not in e._jdf.queryExecution().executedPlan().toString()
+
+
+def test_emb_scan_floor_spreads_single_file_corpus(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_spark.operators import similarity as sim
+
+    big = str(tmp_path / "corpus")
+    n = 3 * sim._EMB_SCAN_CHUNK + 1
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {sim.DIM}), "
+                "i -> CAST(pmod(id * i, 97) / 97.0 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{big}/embeddings.parquet")
+    )
+    e = sim._emb(spark, big)
+    raw = spark.read.parquet(f"{big}/embeddings.parquet")
+    assert raw.rdd.getNumPartitions() < 4, "fixture must be a single-file scan"
+    want = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-n // sim._EMB_SCAN_CHUNK),
+    )
+    assert e.rdd.getNumPartitions() == want > 1
+    assert e.count() == n  # the shuffle is a pure redistribution
