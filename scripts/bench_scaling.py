@@ -108,7 +108,9 @@ Data grows 10x, so <=10x growth = at-or-below linear scaling.
   counted separately (they are the operator's OUTPUT — at 1M the
   rotation-wrap construction yields 3.8M genuine duplicate pairs, a data
   property any correct dedup must examine). Oracle hash-green through
-  n=200k (the largest cross-engine-checked point). The fixed-24-bit
+  n=1M — the full keep-list verified value-identical across engines at
+  every measured point (r9, `ORACLE_EMB1M_r09.log`: 1,000,000 rows,
+  hash 027b1bb3de536cd1, 364.5 s). The fixed-24-bit
   formulation survives as the labeled calibration twin
   `dedup_embedding_keep_fixedband`; its random-collision candidate set
   is quadratic (measured 1,373 pairs at n=2k -> 144,922 at n=20k ≈
