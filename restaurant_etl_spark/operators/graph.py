@@ -60,7 +60,7 @@ def _oracle_sql() -> str:
     for it in range(1, N_ITER + 1):
         iters.append(
             f"""x{it} AS MATERIALIZED (
-        SELECT deg.pk, {prev}.r / deg.outw AS x, deg.cnt
+        SELECT deg.pk, {prev}.r / deg.outw AS x
         FROM deg JOIN {prev} ON deg.pk = {prev}.pk
     ),
     s{it} AS MATERIALIZED (
@@ -69,13 +69,13 @@ def _oracle_sql() -> str:
         GROUP BY i.ok
     ),
     r{it} AS MATERIALIZED (
-        SELECT t.pk,
+        SELECT i.pk,
                {TELEPORT} / (SELECT n FROM nn)
-               + {DAMPING} * (t.ssum - x{it}.cnt * x{it}.x) AS r
-        FROM (SELECT i.pk, sum(s{it}.s) AS ssum
-              FROM items i JOIN s{it} ON i.ok = s{it}.ok
-              GROUP BY i.pk) t
-        JOIN x{it} ON x{it}.pk = t.pk
+               + {DAMPING} * sum(s{it}.s - x{it}.x) AS r
+        FROM items i
+        JOIN x{it} ON i.pk = x{it}.pk
+        JOIN s{it} ON i.ok = s{it}.ok
+        GROUP BY i.pk
     )"""
         )
         prev = f"r{it}"
@@ -90,8 +90,7 @@ def _oracle_sql() -> str:
         WHERE sz.sz >= 2
     ),
     deg AS MATERIALIZED (
-        SELECT pk, CAST(sum(sz - 1) AS DOUBLE) AS outw,
-               CAST(count(*) AS DOUBLE) AS cnt
+        SELECT pk, CAST(sum(sz - 1) AS DOUBLE) AS outw
         FROM items GROUP BY pk
     ),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
@@ -165,15 +164,11 @@ def _scaled_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         items0.join(sz, "ok").filter(F.col("sz") >= 2).localCheckpoint()
     )
-    # node table: out-degree outw(p) = Σ_{o∋p}(sz−1) (an exact integer in
-    # doubles — identical to the old Σ_dst w) and cnt(p) = #qualifying
-    # orders containing p, the multiplicity of the self-exclusion term
+    # node table: out-degree outw(p) = Σ_{o∋p}(sz−1), an exact integer in
+    # doubles — identical to the old Σ_dst w
     deg = (
         items.groupBy("pk")
-        .agg(
-            F.sum(F.col("sz") - 1).cast("double").alias("outw"),
-            F.count("*").cast("double").alias("cnt"),
-        )
+        .agg(F.sum(F.col("sz") - 1).cast("double").alias("outw"))
         .localCheckpoint()
     )
     nn = deg.agg(F.count("*").cast("double").alias("n"))
@@ -182,27 +177,34 @@ def _scaled_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(N_ITER):
-        x = deg.join(ranks, "pk").select(
-            "pk", (F.col("r") / F.col("outw")).alias("x"), "cnt"
+        # x is referenced TWICE below (building S and subtracting the
+        # self term) — checkpoint it each round, Pregel-style, or the
+        # lazy lineage would DUPLICATE the whole prior-iteration subtree
+        # per reference (exponential plan growth in N_ITER; the first
+        # r9 cut measured a 2,200-line executed plan and +46% at sf0.1
+        # from exactly this). x is node-sized: the cheapest thing in
+        # the loop to materialize.
+        x = (
+            deg.join(ranks, "pk")
+            .select("pk", (F.col("r") / F.col("outw")).alias("x"))
+            .localCheckpoint()
         )
-        s = (
-            items.select("ok", "pk")
-            .join(x, "pk")
-            .groupBy("ok")
-            .agg(F.sum("x").alias("s"))
-        )
-        t = (
-            items.select("ok", "pk")
-            .join(s, "ok")
+        ix = items.select("ok", "pk").join(x, "pk")
+        s = ix.groupBy("ok").agg(F.sum("x").alias("s"))
+        # contrib(p) = Σ_{o∋p}(S(o) − x(p)) folded per ROW: each
+        # (order, part) incidence contributes s(o) − x(p) and one keyed
+        # aggregation finishes the power step — x's second reference
+        # rides the same join pipeline instead of a separate re-join
+        contrib = (
+            ix.join(s, "ok")
             .groupBy("pk")
-            .agg(F.sum("s").alias("ssum"))
+            .agg(F.sum(F.col("s") - F.col("x")).alias("contrib"))
         )
-        ranks = t.join(x, "pk").crossJoin(F.broadcast(nn)).select(
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(
             "pk",
             (
                 F.lit(TELEPORT) / F.col("n")
-                + F.lit(DAMPING)
-                * (F.col("ssum") - F.col("cnt") * F.col("x"))
+                + F.lit(DAMPING) * F.col("contrib")
             ).alias("r"),
         )
     return ranks.crossJoin(F.broadcast(nn)).select(
