@@ -208,10 +208,14 @@ def main() -> int:
     # gets an automatic in-process envelope — two extra batches of steady
     # reps, pooled with the first — and a classification straight in the
     # artifact: "run_variance" if the previous reading sits inside the
-    # pooled [min, max] at this HEAD, else "structural". That moves the
+    # pooled [min, max] at this HEAD, else "outside_envelope". The latter
+    # is a CLAIM ABOUT THE EVIDENCE, not a verdict: a plan change lands
+    # there, but so can cross-JVM drift (one process's pooled reps can't
+    # see another JVM's JIT/GC context — q9's r8 flag read 0.25-0.35 in
+    # one JVM and 0.35-0.88 in another at the SAME HEAD). That moves the
     # q9/q7-style investigations (judge-side in r7/r8) into the bench
     # protocol itself. The deep cross-JVM tool (scripts/
-    # bench_query_envelope.py) remains the escalation for "structural".
+    # bench_query_envelope.py) remains the escalation for "outside_envelope".
     ENVELOPE_BAND = 0.100  # seconds, the established noise band
     envelopes: dict[str, dict] = {}
     prev_queries = _previous_round_queries(sf)
@@ -238,7 +242,7 @@ def main() -> int:
             "now": now,
             "delta": round(now - prev, 3),
             "pooled": {"min": lo, "max": hi, "n": len(pool)},
-            "classification": "run_variance" if lo <= prev <= hi else "structural",
+            "classification": "run_variance" if lo <= prev <= hi else "outside_envelope",
         }
 
     calibration: dict[str, float] = {}
