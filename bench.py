@@ -155,6 +155,22 @@ def main() -> int:
     # entry and the bench still emits its JSON line for all the others —
     # a single AnalysisException must never zero a whole round's signal.
     steady_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    # Cold-path ledger (VERDICT r9 #2): with SPARK_GRAFT_BENCH_COLD_LEDGER=1
+    # every query's cold time is decomposed into
+    #   build      — first spec.fn() call: plan construction PLUS any
+    #                one-time artifact work it fronts (IVF index build,
+    #                Z-order/staging writes, eager checkpoints);
+    #   first_exec — the first noop execution: first-scan I/O, first-touch
+    #                shuffles, whole-stage-codegen compilation;
+    #   plan       — a SECOND spec.fn() call after caches/artifacts are
+    #                warm: pure DataFrame construction + analysis. The
+    #                one-time artifact component is build − plan (work a
+    #                second session call does NOT repay); staging a query
+    #                repeats per call shows up in plan, honestly.
+    # The extra fn() call is uncounted in cold/steady and gated off by
+    # default so the driver's per-round run shape is unchanged.
+    ledger_on = os.environ.get("SPARK_GRAFT_BENCH_COLD_LEDGER") == "1"
+    cold_ledger: dict[str, dict] = {}
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     cold: dict[str, float] = {}
@@ -166,8 +182,22 @@ def main() -> int:
         try:
             t0 = time.time()
             df = spec.fn(spark, SF_DIR)
+            build_s = time.time() - t0
+            t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.time() - t0, 3)
+            first_exec_s = time.time() - t0
+            cold[name] = round(build_s + first_exec_s, 3)
+            if ledger_on:
+                t0 = time.time()
+                df2 = spec.fn(spark, SF_DIR)
+                plan_s = time.time() - t0
+                del df2
+                cold_ledger[name] = {
+                    "build": round(build_s, 3),
+                    "plan": round(plan_s, 3),
+                    "one_time_artifacts": round(max(0.0, build_s - plan_s), 3),
+                    "first_exec": round(first_exec_s, 3),
+                }
             # steady-state re-executes the SAME resolved plan (what a
             # long-lived session does), so one-time costs the query builder
             # pays — plan analysis, eager checkpoints of tiny reused
@@ -225,6 +255,7 @@ def main() -> int:
             continue
         spec = specs.get(name)
         pool = [stats[name]["min"], stats[name]["max"], now]
+        rerun_err: str | None = None
         try:
             df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()  # rebuild, uncounted
@@ -234,15 +265,23 @@ def main() -> int:
                 pool.append(round(time.time() - t0, 3))
             del df
             gc.collect()
-        except Exception:  # noqa: BLE001 — envelope is advisory, never fatal
-            pass
+        except Exception as exc:  # noqa: BLE001 — envelope is advisory, never fatal
+            # ADVICE r9: a swallowed re-run used to let run_variance/
+            # outside_envelope be emitted from the ORIGINAL 3-point pool with
+            # zero additional evidence. A failed re-run is its own label.
+            rerun_err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         lo, hi = min(pool), max(pool)
         envelopes[name] = {
             "prev": prev,
             "now": now,
             "delta": round(now - prev, 3),
             "pooled": {"min": lo, "max": hi, "n": len(pool)},
-            "classification": "run_variance" if lo <= prev <= hi else "outside_envelope",
+            "classification": (
+                "envelope_rerun_failed"
+                if rerun_err is not None
+                else "run_variance" if lo <= prev <= hi else "outside_envelope"
+            ),
+            **({"rerun_error": rerun_err} if rerun_err else {}),
         }
 
     calibration: dict[str, float] = {}
@@ -286,6 +325,7 @@ def main() -> int:
         "queries": timings,
         "query_stats": stats,
         "cold_queries": cold,
+        "cold_ledger": cold_ledger,
         "calibration": calibration,
         "envelopes": envelopes,
         "errors": errors,

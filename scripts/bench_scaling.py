@@ -42,9 +42,18 @@ DEFAULT_SFS = [
 ]
 
 
-def run_bench(sf_dir: str, timeout: int = 3600) -> dict:
+def run_bench(sf_dir: str, timeout: int | None = None) -> dict:
     """Each SF runs in a FRESH interpreter/JVM so no cache, no broadcast
-    reuse, and no shuffle files leak between scale points."""
+    reuse, and no shuffle files leak between scale points.
+
+    Default timeout scales with SPARK_GRAFT_BENCH_ITERS (ADVICE r9):
+    bench.py's envelope triage can append up to 2×steady_iters extra reps
+    per out-of-band query, so a fixed 3600 s could newly kill a scale
+    point with several flagged multi-second queries and lose the whole
+    point's measurements."""
+    if timeout is None:
+        iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+        timeout = 3600 * max(1, (iters + 4) // 5) * 2
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -160,6 +169,81 @@ band), not a regression; plans are identical (PLANS.md).
 """
 
 
+def run_bench_full(sf_dir: str, env_extra: dict | None = None,
+                   timeout: int = 10800) -> dict:
+    """Like run_bench but returns the FULL stderr artifact (per-query
+    stats, cold ledger) instead of the compact stdout line."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, **(env_extra or {}))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed for {sf_dir} (rc={out.returncode}); "
+            f"stderr tail: {out.stderr.strip()[-2000:]}"
+        )
+    for line in reversed(out.stderr.strip().splitlines()):
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    raise RuntimeError(f"no full artifact line on stderr for {sf_dir}")
+
+
+def _cold_ledger_section(r: dict) -> list[str]:
+    """Cold-path decomposition table (VERDICT r9 #2): where the sf10
+    cold/steady ratio comes from, per query."""
+    led = r.get("cold_ledger") or {}
+    cold_q = r.get("cold_queries") or {}
+    steady_q = r.get("queries") or {}
+    lines = [
+        f"## Cold-path ledger at sf={r.get('sf')} (VERDICT r9 #2)",
+        "",
+        "Cold per query = build (first query construction, INCLUDING any",
+        "one-time artifact work it fronts: IVF index build, Z-order/staging",
+        "writes, eager checkpoints) + first_exec (first-scan I/O,",
+        "first-touch shuffles, whole-stage-codegen compilation). `plan` is",
+        "a SECOND construction after artifacts/caches are warm — pure",
+        "analysis; `one_time = build − plan` is the component a long-lived",
+        "session never pays again. `first_exec − steady` is the",
+        "first-execution surcharge (codegen + cache-cold scans + shuffle",
+        "materialization that steady plan-reuse re-runs amortize away).",
+        "",
+        "| query | cold | build | one_time | plan | first_exec | steady | cold/steady |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    tot = {"cold": 0.0, "build": 0.0, "one": 0.0, "plan": 0.0,
+           "fx": 0.0, "steady": 0.0}
+    for q in sorted(led, key=lambda q: -cold_q.get(q, 0)):
+        e = led[q]
+        c, s = cold_q.get(q), steady_q.get(q)
+        ratio = f"{c / s:.1f}×" if c and s else "—"
+        lines.append(
+            f"| {q} | {c} | {e['build']} | {e['one_time_artifacts']} | "
+            f"{e['plan']} | {e['first_exec']} | {s} | {ratio} |"
+        )
+        tot["cold"] += c or 0; tot["build"] += e["build"]
+        tot["one"] += e["one_time_artifacts"]; tot["plan"] += e["plan"]
+        tot["fx"] += e["first_exec"]; tot["steady"] += s or 0
+    lines.append(
+        f"| **total** | {tot['cold']:.1f} | {tot['build']:.1f} | "
+        f"{tot['one']:.1f} | {tot['plan']:.1f} | {tot['fx']:.1f} | "
+        f"{tot['steady']:.1f} | "
+        f"{tot['cold'] / tot['steady']:.1f}× |" if tot["steady"] else "| — |"
+    )
+    if tot["steady"]:
+        surcharge = tot["fx"] - tot["steady"]
+        lines += [
+            "",
+            f"Decomposition of cold_total − steady_total = "
+            f"{tot['cold'] - tot['steady']:.1f} s: one-time artifact builds "
+            f"{tot['one']:.1f} s + per-call plan/analysis {tot['plan']:.1f} s "
+            f"+ first-execution surcharge {surcharge:.1f} s "
+            f"(codegen + cache-cold scans + first-touch shuffle "
+            f"materialization that `steady_state_plan_reuse` re-runs reuse).",
+        ]
+    return lines
+
+
 def _norm(r: dict) -> dict:
     """bench.py's stdout line is the COMPACT form (r7: sized for the
     driver's tail capture) — normalize the fields this script reads."""
@@ -233,6 +317,15 @@ def _splice_decade(section: list[str]) -> None:
 
 def main() -> int:
     argv = sys.argv[1:]
+    if "--cold-ledger" in argv:
+        i = argv.index("--cold-ledger")
+        d = argv[i + 1]
+        r = run_bench_full(d, env_extra={"SPARK_GRAFT_BENCH_COLD_LEDGER": "1"})
+        print(json.dumps({"sf": r.get("sf"), "cold_total": r.get("cold_total"),
+                          "steady_total": r.get("steady_total"),
+                          "errors": r.get("errors")}))
+        _splice_decade(_cold_ledger_section(r))
+        return 0
     if "--decade-only" in argv:
         i = argv.index("--decade-only")
         dirs = [d for d in argv[i + 1].split(",") if d]
@@ -280,19 +373,11 @@ def main() -> int:
                           "cold_total": r["cold_total"], "errors": r["errors"]}))
 
     if skew_only:
-        path = os.path.join(REPO, "SCALING.md")
-        body = open(path).read()
-        for marker in ("## Skewed-corpus decade", "## The sf=1.0 scale point"):
-            cut = body.find(marker)
-            if cut >= 0:
-                body = body[:cut].rstrip() + "\n"
-                break
-        out = body + "\n" + "\n".join(
-            _skew_section(skew_results[-2], skew_results[-1]) + ["", _NARRATIVE.rstrip()]
-        ) + "\n"
-        with open(path, "w") as f:
-            f.write(out)
-        print(f"spliced skew section into {path}")
+        # surgical in-place replacement (r10): the old cut-at-marker
+        # rebuild dropped every section BETWEEN the skew table and the
+        # narrative (the r8 embedding-decade and envelope studies live
+        # there) — reuse the decade splicer's section-bounded replace.
+        _splice_decade(_skew_section(skew_results[-2], skew_results[-1]))
         return 0
 
     lines = [

@@ -91,16 +91,60 @@ def _progress_metrics(q) -> dict:
     }
 
 
-def bench_session_windows(spark, sf_dir: str) -> dict:
-    src = os.path.join(SCRATCH, "events_src")
-    ckpt = os.path.join(SCRATCH, "events_ckpt")
-    # stage events as 16 files -> 8 micro-batches of 2 files each
+def _state_metrics(q) -> dict:
+    """State-store footprint from the LAST progress carrying state
+    operators (VERDICT r9 #5): total state rows, in-memory usage and the
+    RocksDB-specific on-disk/SST + block-cache numbers Spark publishes
+    via customMetrics — the axis that actually hurts at 100 TB."""
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            o = ops[0]
+            cm = o.get("customMetrics") or {}
+            keep = {
+                k: v for k, v in cm.items()
+                if "SstFileSize" in k or "MemoryUsage" in k
+                or "ZipFileBytes" in k or "CommitLatency" in k
+            }
+            return {
+                "state_rows": o.get("numRowsTotal"),
+                "state_rows_updated": o.get("numRowsUpdated"),
+                "state_memory_bytes": o.get("memoryUsedBytes"),
+                "rocksdb": keep,
+            }
+    return {}
+
+
+def _latency_quarters(q) -> list:
+    """Median steady batch latency per quarter of the run — state grows
+    monotonically across an availableNow drain, so a rising series IS
+    per-batch latency vs state growth."""
+    lat = [
+        (p.get("durationMs") or {}).get("triggerExecution")
+        for p in q.recentProgress
+        if p.get("numInputRows", 0)
+    ]
+    lat = [x for x in lat[1:] if x is not None]  # drop warmup
+    if len(lat) < 4:
+        return lat
+    k = len(lat) // 4
+    return [
+        round(statistics.median(lat[i * k:(i + 1) * k if i < 3 else len(lat)]), 1)
+        for i in range(4)
+    ]
+
+
+def bench_session_windows(spark, sf_dir: str, n_files: int = 16,
+                          files_per_trigger: int = 2, tag: str = "") -> dict:
+    src = os.path.join(SCRATCH, f"events_src{tag}")
+    ckpt = os.path.join(SCRATCH, f"events_ckpt{tag}")
+    # stage events as n_files -> n_files/files_per_trigger micro-batches
     ev = load_table(spark, sf_dir, "events")
-    ev.repartition(16).write.mode("overwrite").parquet(src)
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(src)
     )
     out = session_agg(stream)
@@ -111,16 +155,19 @@ def bench_session_windows(spark, sf_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
+    if not q.awaitTermination(3600):
         q.stop()
         raise TimeoutError("session-window drain did not finish")
-    return _progress_metrics(q)
+    m = _progress_metrics(q)
+    m["state"] = _state_metrics(q)
+    m["steady_batch_ms_by_quarter"] = _latency_quarters(q)
+    return m
 
 
-def bench_cdc_sink(spark, sf_dir: str, n_batches: int = 10) -> dict:
-    src = os.path.join(SCRATCH, "cdc_src")
-    tgt = os.path.join(SCRATCH, "cdc_tgt")
-    ckpt = os.path.join(SCRATCH, "cdc_ckpt")
+def bench_cdc_sink(spark, sf_dir: str, n_batches: int = 10, tag: str = "") -> dict:
+    src = os.path.join(SCRATCH, f"cdc_src{tag}")
+    tgt = os.path.join(SCRATCH, f"cdc_tgt{tag}")
+    ckpt = os.path.join(SCRATCH, f"cdc_ckpt{tag}")
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -165,12 +212,30 @@ def bench_cdc_sink(spark, sf_dir: str, n_batches: int = 10) -> dict:
         .select("op", "m_key", "new_status", "new_price")
     )
     q = cdc_apply_sink(stream, tgt, ckpt, compact_every=8)
-    if not q.awaitTermination(900):
+    if not q.awaitTermination(3600):
         q.stop()
         raise TimeoutError("CDC drain did not finish")
     m = _progress_metrics(q)
+    m["state"] = _state_metrics(q)
+    m["steady_batch_ms_by_quarter"] = _latency_quarters(q)
     m["target_rows"] = read_target(spark, tgt).count()
     return m
+
+
+def _newest_prev_artifact() -> str:
+    """Newest committed STREAMING_BENCH_r*.json (ADVICE r9: the default
+    was hardcoded to the r08 artifact, so every later round's vs_prev
+    silently compared against a stale baseline unless the caller
+    remembered the positional override — which stays authoritative)."""
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"STREAMING_BENCH_r(\d+)\.json", f)
+        if m:
+            cands.append((int(m.group(1)), os.path.join(here, f)))
+    return max(cands)[1] if cands else os.path.join(here, "STREAMING_BENCH_r08.json")
 
 
 def _delta_vs_prev(workloads: dict, prev_path: str) -> dict | None:
@@ -203,12 +268,27 @@ def _delta_vs_prev(workloads: dict, prev_path: str) -> dict | None:
     return out or None
 
 
+def _ratio(a, b):
+    return round(b / a, 2) if a and b else None
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    prev = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "STREAMING_BENCH_r08.json",
-    )
+    argv = list(sys.argv[1:])
+    decade_big = None
+    if "--state-decade" in argv:
+        # VERDICT r9 #5: the stream path gets its own scale decade. The big
+        # point carries ×10 rows AND ×10 key cardinality (make_sfN key
+        # offsets give every copy a disjoint user/order key range — state
+        # size is the axis that hurts). For the session workload the big
+        # point stages 10× the FILES at the same files-per-trigger, so
+        # rows-per-batch stay equal and any latency growth isolates the
+        # STATE-SIZE effect (10× more batches, state rows growing to 10×)
+        # instead of conflating it with batch volume.
+        i = argv.index("--state-decade")
+        decade_big = argv[i + 1] if i + 1 < len(argv) else "/tmp/spark_graft_sf1"
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    prev = argv[1] if len(argv) > 1 else _newest_prev_artifact()
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark = get_spark("bench_streaming")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
@@ -216,6 +296,46 @@ def main() -> int:
         "session_windows_rocksdb": bench_session_windows(spark, sf_dir),
         "cdc_sink_rocksdb": bench_cdc_sink(spark, sf_dir),
     }
+    state_decade = None
+    if decade_big:
+        big_session = bench_session_windows(
+            spark, decade_big, n_files=160, files_per_trigger=2, tag="_big"
+        )
+        big_cdc = bench_cdc_sink(spark, decade_big, tag="_big")
+        small_session, small_cdc = (
+            workloads["session_windows_rocksdb"], workloads["cdc_sink_rocksdb"]
+        )
+
+        def _pair(small, big, note):
+            return {
+                "small": small, "big": big, "axis": note,
+                "ratios": {
+                    "rows": _ratio(small["rows"], big["rows"]),
+                    "state_rows": _ratio(
+                        (small.get("state") or {}).get("state_rows"),
+                        (big.get("state") or {}).get("state_rows")),
+                    "steady_median_batch_ms": _ratio(
+                        small["steady"]["batch_ms"]["median"],
+                        big["steady"]["batch_ms"]["median"]),
+                    "steady_rows_per_sec": _ratio(
+                        small["steady"]["rows_per_sec"],
+                        big["steady"]["rows_per_sec"]),
+                    "state_memory_bytes": _ratio(
+                        (small.get("state") or {}).get("state_memory_bytes"),
+                        (big.get("state") or {}).get("state_memory_bytes")),
+                },
+            }
+
+        state_decade = {
+            "big_dir": decade_big,
+            "session_windows": _pair(
+                small_session, big_session,
+                "equal rows-per-batch (160 files @ 2/trigger), 10x batches, "
+                "10x key cardinality -> latency ratio isolates state size"),
+            "cdc_sink": _pair(
+                small_cdc, big_cdc,
+                "same 10-batch shape on 10x rows and 10x merge keys"),
+        }
     result = {
         "metric": "streaming_bench",
         "spark_version": spark.version,
@@ -223,6 +343,7 @@ def main() -> int:
         "phases": "warmup = first non-empty batch (state-store open + codegen); "
                   "steady = the rest; pooled = r8-comparable view",
         "workloads": workloads,
+        "state_decade": state_decade,
         "vs_prev": _delta_vs_prev(workloads, prev),
         "prev_artifact": os.path.basename(prev),
         "sf_dir": sf_dir,

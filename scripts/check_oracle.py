@@ -7,7 +7,10 @@ and sorted). Exit code 1 if anything mismatches.
 
 Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
         python scripts/check_oracle.py [sf_dir] --pagerank-margins [query ...]
-        python scripts/check_oracle.py [sf_dir] --fingerprint q1,q2 [query ...]
+        python scripts/check_oracle.py [sf_dir] --fingerprint=q1,q2[:dp] [query ...]
+
+Unknown ``--flags`` are an error (ADVICE r9): a typo'd fingerprint flag
+must not silently fall back to the full driver-collect path.
 
 ``--pagerank-margins`` additionally runs the PageRank FP-margin guard
 (graph.pagerank_rank_margins) at the given sf_dir and fails the run if
@@ -25,7 +28,11 @@ scalars cross the driver. Same discriminating power class as the full
 hash compare (order-insensitive content equality), restricted to
 integer/string/boolean output columns where both engines' CAST-to-string
 is bit-identical; a query with float/decimal/list columns is refused
-loudly rather than fingerprinted wrong.
+loudly rather than fingerprinted wrong — UNLESS a dp grid is declared
+(``--fingerprint=name:dp``, VERDICT r9 #3), in which case float/double/
+decimal columns are quantized floor(x·10^dp + 0.5) → BIGINT with the
+same IEEE-double ops in both engines, plus a reproducibility margin
+guard (see _FP_GRID_SLACK). List columns remain refused.
 """
 
 from __future__ import annotations
@@ -74,57 +81,133 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], str, in
 
 #: Spark types whose CAST(col AS STRING) is bit-identical to DuckDB's
 #: CAST(col AS VARCHAR) — the precondition for in-engine fingerprinting.
-#: Floats/decimals/lists render differently per engine and are refused.
+#: Floats/decimals/lists render differently per engine; without a declared
+#: dp grid they are refused.
 _FP_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
 
+#: Spark simpleString prefixes treated as grid-quantizable when a dp grid
+#: is declared (``--fingerprint=name:dp``).
+_FP_GRID_TYPES = ("float", "double", "decimal")
 
-def _fingerprint_spark(sdf):
-    """(count, hsum1, hsum2) computed INSIDE Spark — no rows reach the
-    driver. Canonical row = sorted-by-name columns cast to string,
+#: Grid-boundary slack in GRID UNITS (VERDICT r9 #3). The quantizer is
+#: floor(x·10^dp + 0.5) → BIGINT in both engines — identical IEEE-double
+#: ops, so a hash MATCH is sound by construction (any row quantizing
+#: differently mismatches the sums). The margin guards REPRODUCIBILITY:
+#: Spark's cross-partition sum order is nondeterministic, so a value
+#: within FP noise of a floor boundary could quantize differently on a
+#: different run. We fail when the nearest-boundary distance is inside
+#: slack AND the two engines disagree on that distance (their doubles
+#: differ near a boundary). Bit-EQUAL tiny margins are exact-lattice
+#: values (e.g. jaccard i/2^k landing exactly on the grid) — the
+#: arithmetic is exact in both engines, so floor is deterministic; those
+#: pass with an annotation rather than refusing a sound compare.
+_FP_GRID_SLACK = 1e-9
+
+
+def _fp_grid_cols(schema_fields) -> list[str]:
+    """Column names needing grid quantization (float/double/decimal)."""
+    return [
+        f.name
+        for f in schema_fields
+        if f.dataType.simpleString().startswith(_FP_GRID_TYPES)
+    ]
+
+
+def _fingerprint_spark(sdf, dp: int | None = None):
+    """(count, hsum1, hsum2, margin) computed INSIDE Spark — no rows reach
+    the driver. Canonical row = sorted-by-name columns cast to string,
     NULL → '<NULL>', joined with '|' (the collect-path canonicalization
-    for int/string/bool values)."""
+    for int/string/bool values). With ``dp`` set, float/double/decimal
+    columns are grid-quantized floor(x·10^dp + 0.5) → BIGINT before the
+    cast (VERDICT r9 #3), and ``margin`` is the minimum distance of any
+    quantized value's scaled form from its nearest floor boundary, in
+    grid units (None when no column was quantized)."""
     from pyspark.sql import functions as F
 
+    grid = set(_fp_grid_cols(sdf.schema.fields)) if dp is not None else set()
+    exprs, dists = [], []
     for f in sdf.schema.fields:
-        if f.dataType.simpleString() not in _FP_SAFE_TYPES:
-            raise TypeError(
-                f"fingerprint mode needs int/string/boolean columns; "
-                f"{f.name} is {f.dataType.simpleString()}"
+        t = f.dataType.simpleString()
+        if f.name in grid:
+            y = F.col(f.name).cast("double") * F.lit(float(10**dp)) + F.lit(0.5)
+            exprs.append((f.name, F.floor(y).cast("bigint").cast("string")))
+            dists.append(
+                F.least(y - F.floor(y), F.floor(y) + F.lit(1.0) - y).alias(
+                    f"m_{f.name}"
+                )
             )
-    cols = sorted(sdf.columns)
+        elif t in _FP_SAFE_TYPES:
+            exprs.append((f.name, F.col(f.name).cast("string")))
+        else:
+            raise TypeError(
+                f"fingerprint mode needs int/string/boolean columns "
+                f"(or float/decimal with --fingerprint=name:dp); "
+                f"{f.name} is {t}"
+            )
     s = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+        "|", *[F.coalesce(e, F.lit("<NULL>")) for _, e in sorted(exprs)]
     )
     # conv() is unsigned-64-bit safe for 15 hex chars (60 bits); the sums
     # accumulate exactly in DECIMAL(38,0) (105M rows * 2^60 ~ 1e26 << 1e38)
     h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
     h2 = F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("decimal(38,0)")
     row = (
-        sdf.select(h1.alias("h1"), h2.alias("h2"))
-        .agg(F.count("*").alias("n"), F.sum("h1").alias("s1"), F.sum("h2").alias("s2"))
+        sdf.select(h1.alias("h1"), h2.alias("h2"), *dists)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            *[F.min(f"m_{c}").alias(f"m_{c}") for c in sorted(grid)],
+        )
         .collect()[0]
     )
-    return int(row["n"]), int(row["s1"] or 0), int(row["s2"] or 0)
+    margin = None
+    if grid:
+        vals = [row[f"m_{c}"] for c in sorted(grid) if row[f"m_{c}"] is not None]
+        margin = min(vals) if vals else None
+    return int(row["n"]), int(row["s1"] or 0), int(row["s2"] or 0), margin
 
 
-def _fingerprint_duck(con, sql: str, cols: list[str]):
-    """Same three scalars computed INSIDE DuckDB over the oracle query.
+def _fingerprint_duck(
+    con, sql: str, cols: list[str], grid_cols: list[str] | None = None,
+    dp: int | None = None,
+):
+    """Same scalars computed INSIDE DuckDB over the oracle query.
     sum(BIGINT) widens to HUGEINT (128-bit), so the 60-bit row hashes
     accumulate exactly. ``cols`` is the Spark result's column list — the
     DuckDB projection must expose the same names (schema parity is part
-    of the gate; a missing name errors here)."""
-    canon = " || '|' || ".join(
-        f"coalesce(CAST({c} AS VARCHAR), '<NULL>')" for c in sorted(cols)
-    )
+    of the gate; a missing name errors here). ``grid_cols`` come from the
+    SPARK schema (the source of truth for which columns are float), so
+    both engines quantize exactly the same columns with the same
+    floor(x·10^dp + 0.5) double arithmetic."""
+    grid = sorted(set(grid_cols or []) & set(cols))
+    canon_parts, dist_sel = [], []
+    for c in sorted(cols):
+        if c in grid:
+            y = f"(CAST({c} AS DOUBLE) * {float(10**dp)!r} + 0.5)"
+            canon_parts.append(
+                f"coalesce(CAST(CAST(floor({y}) AS BIGINT) AS VARCHAR), '<NULL>')"
+            )
+            dist_sel.append(
+                f"least({y} - floor({y}), floor({y}) + 1.0 - {y}) AS m_{c}"
+            )
+        else:
+            canon_parts.append(f"coalesce(CAST({c} AS VARCHAR), '<NULL>')")
+    canon = " || '|' || ".join(canon_parts)
+    inner_extra = (", " + ", ".join(dist_sel)) if dist_sel else ""
+    margin_aggs = "".join(f", min(m_{c}) AS m_{c}" for c in grid)
     res = con.execute(
         f"""
         SELECT count(*) AS n,
                sum(('0x' || substr(md5(s), 1, 15))::BIGINT) AS s1,
                sum(('0x' || substr(md5(s), 17, 15))::BIGINT) AS s2
-        FROM (SELECT {canon} AS s FROM ({sql}) fp_inner) fp_rows
+               {margin_aggs}
+        FROM (SELECT {canon} AS s{inner_extra} FROM ({sql}) fp_inner) fp_rows
         """
     ).fetchone()
-    return int(res[0]), int(res[1] or 0), int(res[2] or 0)
+    vals = [float(v) for v in res[3:] if v is not None]
+    margin = min(vals) if grid and vals else None
+    return int(res[0]), int(res[1] or 0), int(res[2] or 0), margin
 
 
 def _default_duckdb_mem() -> str:
@@ -142,13 +225,33 @@ def _default_duckdb_mem() -> str:
 def main() -> int:
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    check_margins = "--pagerank-margins" in flags
-    fingerprint: set[str] = set()
+    check_margins = False
+    fingerprint: dict[str, int | None] = {}
     for fl in flags:
-        if fl.startswith("--fingerprint="):
-            fingerprint = set(fl.split("=", 1)[1].split(","))
+        # ADVICE r9: unknown --flags used to be silently stripped, so a
+        # typo'd --fingerprints=... fell back to the full collect path
+        # (a ~105M-row driver collect at sf10). Unknown flags now error.
+        if fl == "--pagerank-margins":
+            check_margins = True
+        elif fl.startswith("--fingerprint="):
+            for item in fl.split("=", 1)[1].split(","):
+                if ":" in item:
+                    qname, dp_s = item.split(":", 1)
+                    try:
+                        fingerprint[qname] = int(dp_s)
+                    except ValueError:
+                        raise SystemExit(
+                            f"bad fingerprint spec {item!r}: dp must be an int"
+                        ) from None
+                else:
+                    fingerprint[item] = None
         elif fl == "--fingerprint":
-            raise SystemExit("use --fingerprint=q1,q2 (equals form)")
+            raise SystemExit("use --fingerprint=q1,q2[:dp] (equals form)")
+        else:
+            raise SystemExit(
+                f"unknown flag {fl!r}; valid: --pagerank-margins, "
+                "--fingerprint=q1[:dp],q2[:dp]"
+            )
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -187,10 +290,12 @@ def main() -> int:
                 failures.append((name, "fingerprint query has no oracle"))
                 print(f"FAIL  {name}: fingerprint query has no oracle")
                 continue
+            dp = fingerprint[name]
             try:
                 sdf = fn(spark, sf_dir)
                 scols = sorted(sdf.columns)
-                s_fp = _fingerprint_spark(sdf)
+                grid_cols = _fp_grid_cols(sdf.schema.fields) if dp is not None else []
+                s_fp = _fingerprint_spark(sdf, dp=dp)
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"SPARK ERROR: {e}"))
                 print(f"FAIL  {name}: spark error: {str(e)[:300]}")
@@ -201,7 +306,9 @@ def main() -> int:
                         f"DESCRIBE ({oracles[name]})"
                     ).fetchall()
                 )
-                d_fp = _fingerprint_duck(con, oracles[name], sdf.columns)
+                d_fp = _fingerprint_duck(
+                    con, oracles[name], sdf.columns, grid_cols=grid_cols, dp=dp
+                )
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"DUCKDB ERROR: {e}"))
                 print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
@@ -211,8 +318,30 @@ def main() -> int:
                 problems.append(f"cols {scols} != {dcols}")
             if s_fp[0] != d_fp[0]:
                 problems.append(f"rows {s_fp[0]} != {d_fp[0]}")
-            if s_fp[1:] != d_fp[1:]:
+            if s_fp[1:3] != d_fp[1:3]:
                 problems.append("fingerprint hash-sum mismatch")
+            # Grid-reproducibility guard: a hash match is sound by
+            # construction (see _FP_GRID_SLACK), but a value inside slack
+            # of a floor boundary on which the engines DISAGREE means the
+            # compare could flip on a re-run with different partition sum
+            # order — refuse rather than report luck as proof.
+            s_m, d_m = s_fp[3], d_fp[3]
+            grid_note = ""
+            if dp is not None and (s_m is not None or d_m is not None):
+                worst = min(m for m in (s_m, d_m) if m is not None)
+                if worst < _FP_GRID_SLACK and s_m != d_m:
+                    problems.append(
+                        f"grid-unsafe at dp={dp}: boundary margin "
+                        f"{worst:.3e} < {_FP_GRID_SLACK} and engines "
+                        f"disagree (spark {s_m!r} vs duckdb {d_m!r})"
+                    )
+                elif worst < _FP_GRID_SLACK:
+                    grid_note = (
+                        f" dp={dp} margin={worst:.3e} (exact-lattice "
+                        "boundary, margins bit-equal — deterministic)"
+                    )
+                else:
+                    grid_note = f" dp={dp} margin={worst:.3e}"
             if problems:
                 failures.append((name, "; ".join(problems)))
                 print(f"FAIL  {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
@@ -220,7 +349,7 @@ def main() -> int:
                 passed += 1
                 print(
                     f"ok    {name}: {s_fp[0]} rows fingerprint="
-                    f"{s_fp[1] % 2**64:016x}  (in-engine, {time.time()-t0:.1f}s)"
+                    f"{s_fp[1] % 2**64:016x}{grid_note}  (in-engine, {time.time()-t0:.1f}s)"
                 )
             continue
         try:

@@ -1,0 +1,129 @@
+"""The embeddings data-contract check (_emb), post VERDICT r9 #7 + ADVICE r9.
+
+Contract: every ``embedding`` is exactly DIM non-NULL floats and ``vec_id``
+is unique — violations fail LOUDLY. What changed in r10 is the COST: for
+corpora whose parquet footers carry statistics, the full-corpus pre-pass is
+replaced by footer evidence (row counts, leaf null counts, element totals)
+plus a column-pruned vec_id uniqueness aggregate and a LIMIT-bounded
+exact-DIM spot check. The cache is keyed on a file fingerprint (names +
+sizes + mtimes), so an in-process rewrite under the same path revalidates
+instead of serving a stale row count to the repartition floor.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from restaurant_etl_spark.operators import similarity as sim
+
+
+def _write_corpus(spark, path: str, n: int, dim: int | None = None):
+    dim = dim or sim.DIM
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dim}), "
+                "i -> CAST(pmod(id * i, 97) / 97.0 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/embeddings.parquet")
+    )
+
+
+def test_footer_evidence_proves_clean_corpus(spark, tmp_path, sf_dir):
+    _write_corpus(spark, str(tmp_path), 300)
+    n, proven = sim._emb_footer_evidence(str(tmp_path))
+    assert (n, proven) == (300, True)
+    # the committed test corpora are footer-proven too — the fast path is
+    # what every registered embedding query actually exercises
+    n_sf, proven_sf = sim._emb_footer_evidence(sf_dir)
+    assert proven_sf and n_sf > 0
+
+
+def test_contract_cache_rekeys_on_rewrite(spark, tmp_path):
+    """ADVICE r9: the bare-sf_dir cache let an in-process rewrite skip
+    revalidation and mis-size the scan-parallelism floor."""
+    p = str(tmp_path)
+    _write_corpus(spark, p, 100)
+    assert sim._emb(spark, p).count() == 100
+    _write_corpus(spark, p, 2 * sim._EMB_SCAN_CHUNK)  # same path, new corpus
+    e = sim._emb(spark, p)
+    assert e.count() == 2 * sim._EMB_SCAN_CHUNK
+    # the floor must be sized from the NEW n, not the stale cached 100
+    assert e.rdd.getNumPartitions() == 2
+
+
+def test_duplicate_vec_ids_fail_loudly_on_fast_path(spark, tmp_path):
+    p = str(tmp_path)
+    _write_corpus(spark, p, 50)
+    dup = spark.read.parquet(f"{p}/embeddings.parquet")
+    dup.union(dup.limit(1)).coalesce(1).write.mode("overwrite").parquet(
+        f"{p}2/embeddings.parquet"
+    )
+    n, proven = sim._emb_footer_evidence(f"{p}2")
+    assert proven  # footers can't see duplicates — the pruned scan must
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        sim._emb(spark, f"{p}2")
+
+
+def test_wrong_dim_fails_loudly(spark, tmp_path):
+    _write_corpus(spark, str(tmp_path), 50, dim=sim.DIM - 1)
+    # every row is short, so footer element total != n*DIM → footer not
+    # proven → legacy full scan path → loud failure
+    n, proven = sim._emb_footer_evidence(str(tmp_path))
+    assert not proven
+    with pytest.raises(ValueError, match="not exactly DIM"):
+        sim._emb(spark, str(tmp_path))
+
+
+def test_null_element_defeats_footer_proof(spark, tmp_path):
+    p = str(tmp_path)
+    (
+        spark.range(20)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {sim.DIM}), i -> CASE WHEN id = 7 "
+                "AND i = 3 THEN CAST(NULL AS FLOAT) "
+                "ELSE CAST(i AS FLOAT) END)"
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{p}/embeddings.parquet")
+    )
+    n, proven = sim._emb_footer_evidence(p)
+    assert not proven  # leaf null_count > 0 in the footer
+    with pytest.raises(ValueError, match="non-NULL floats"):
+        sim._emb(spark, p)
+
+
+def test_compensating_lengths_caught_by_spot_check(spark, tmp_path):
+    """63+65 balances the footer element total — the one violation footer
+    stats cannot exclude. The LIMIT spot check catches it up front when it
+    is visible in the head (and downstream zip_with scoring NULLs loudly
+    under the oracle gate otherwise)."""
+    p = str(tmp_path)
+    (
+        spark.range(10)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, CASE WHEN id = 2 THEN "
+                f"{sim.DIM - 1} WHEN id = 3 THEN {sim.DIM + 1} "
+                f"ELSE {sim.DIM} END), i -> CAST(i AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{p}/embeddings.parquet")
+    )
+    n, proven = sim._emb_footer_evidence(p)
+    assert proven  # 63 + 65 == 2*DIM: invisible to the footer
+    with pytest.raises(ValueError, match="compensating length"):
+        sim._emb(spark, p)
