@@ -190,11 +190,35 @@ def make_scale_point(
         cust = pq.read_table(os.path.join(src, "customer.parquet"))
         hot_cust = pc.min(cust.column("c_custkey")).as_py()
         print(f"skew mode: hot customer/user key = {hot_cust}")
+    # Copies stream to the writer in ~4M-row flushes instead of one
+    # giant concat (r10): the concat form held mult × table in RAM —
+    # ~70 GB for lineitem at the sf100 point — and wrote row groups
+    # sized by whatever pyarrow chose. Streaming bounds memory at one
+    # flush buffer and pins the row-group size so the output stays
+    # splittable (a single-row-group file is ONE scan partition no
+    # matter its size — the r9 scan-floor lesson, this time fixed at
+    # the producer).
+    flush_rows = 4_000_000
     for name, offsets in KEY_OFFSETS.items():
         if tables is not None and name not in tables:
             continue
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        copies = []
+        writer = None
+        buf, buf_rows, total = [], 0, 0
+
+        def _flush():
+            nonlocal writer, buf, buf_rows, total
+            if not buf:
+                return
+            chunk = pa.concat_tables(buf)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(dst, f"{name}.parquet"), chunk.schema
+                )
+            writer.write_table(chunk, row_group_size=flush_rows)
+            total += chunk.num_rows
+            buf, buf_rows = [], 0
+
         for k in range(mult):
             t = _shift_keys(base, offsets, k, offset_mult)
             if name == "documents":
@@ -205,10 +229,14 @@ def make_scale_point(
                 t = _skew_hot_key(t, "o_orderkey", "o_custkey", hot_cust)
             elif skew and name == "events":
                 t = _skew_hot_key(t, "event_id", "user_id", hot_cust)
-            copies.append(t)
-        out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
+            buf.append(t)
+            buf_rows += t.num_rows
+            if buf_rows >= flush_rows:
+                _flush()
+        _flush()
+        if writer is not None:
+            writer.close()
+        print(f"{name}: {base.num_rows} -> {total} rows")
 
 
 def main() -> int:
