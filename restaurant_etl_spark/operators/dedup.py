@@ -279,10 +279,16 @@ _CAPPED_COM_SQL = f"""
 
 @register(
     "dedup_ngram_jaccard",
+    # sh is referenced SIX times (sz, rare, cand a/b, com x/y) and rare
+    # twice: unmaterialized, DuckDB re-inlines the shingle generation per
+    # reference — fine at sf1 (~7.5M shingle rows) but a >40 GB spill
+    # that ENOSPC'd the sf10 fingerprint attempt (r10). AS MATERIALIZED
+    # evaluates each once; same rows, same hashes (the r8 CTE-spill-bomb
+    # treatment, memorialized for this oracle at its first sf10 run).
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    {_CAPPED_COM_SQL}
+    {_CAPPED_COM_SQL.replace("rare AS (", "rare AS MATERIALIZED (", 1)}
     SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
     FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
     WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
