@@ -925,11 +925,45 @@ def _ivf_sqrtn_build(spark: SparkSession, sf_dir: str):
     return _ivf_build_from(e)
 
 
+def _argmax_cell(a_r: DataFrame) -> DataFrame:
+    """(vec_id, v, c_cell, cos) → each vector's best cell, deterministic
+    ties like ORDER BY cos DESC, c_cell ASC. r10 (cold-ledger finding):
+    the row_number() window forced a full SORT shuffle of the n×√n
+    assignment product per pass (89.4M rows at sf10, three passes =
+    most of the 260 s one-time IVF build). A hash aggregate computing
+    max(struct(cos, −c_cell, payload)) is the same argmax — struct
+    comparison is lexicographic, (cos, −c_cell) is unique per group so
+    the payload never breaks a tie — but partial aggregation collapses
+    each map partition to ≤n rows before the exchange."""
+    best = a_r.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos"),
+                (-F.col("c_cell")).alias("neg_cell"),
+                F.col("c_cell").alias("cell_id"),
+                F.col("v").alias("v"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.v").alias("v"), F.col("b.cell_id").alias("cell_id")
+    )
+
+
 def _ivf_build_from(e: DataFrame):
     """Full Lloyd build over an arbitrary ``(vec_id, v)`` frame — shared
     by the per-corpus build and the drift-triggered rebuild in
     :func:`ivf_append_batch` (which reconstructs the vector set from the
-    inverted file itself: it stores every vector)."""
+    inverted file itself: it stores every vector).
+
+    r10 (cold-ledger finding, VERDICT r9 #2): the build is Θ(n·√n) by
+    design (√n centroids × n vectors per pass), but the constant was
+    ~8× bloated at sf10 — per-PAIR norm recomputation (the r8 topk
+    hoist, now applied here: ‖v‖ once per vector, ‖c‖ once per
+    centroid) and a sort-based row_number window over the n×√n product
+    (now a hash-agg argmax, see :func:`_argmax_cell`). Same expressions,
+    same rounded values, same assignments — index artifacts and every
+    IVF query hash verified unchanged."""
     m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))
     h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("bigint")
     seeds = (
@@ -937,6 +971,18 @@ def _ivf_build_from(e: DataFrame):
         .filter(h % F.col("m") == 0)
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
     )
+    # ‖v‖ hoisted out of the n×√n pair product (norm(a)*norm(b) becomes
+    # nv*ncv — identical association, identical doubles, same 4-dp cos)
+    ev = e.select("vec_id", "v", _norm(_dvec("v")).alias("nv"))
+
+    def _assign_pass(cent_n: DataFrame) -> DataFrame:
+        a_r = ev.crossJoin(F.broadcast(cent_n)).select(
+            "vec_id", "v", "c_cell",
+            F.round(
+                _dot(_dvec("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 4
+            ).alias("cos"),
+        )
+        return _argmax_cell(a_r)
 
     # Lloyd refinement loop: assign to the previous round's centroids,
     # recompute per-cell per-dim means. cent0 = raw seed vectors. The
@@ -946,15 +992,8 @@ def _ivf_build_from(e: DataFrame):
     # instead of re-running the previous rounds.
     cent = seeds.select(F.col("cell_id").alias("c_cell"), _dvec("sv").alias("cv"))
     for _ in range(LLOYD_ROUNDS):
-        a_r = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "c_cell",
-            F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
-        )
-        w_r = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
-        assign_r = (
-            a_r.withColumn("rn", F.row_number().over(w_r))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("c_cell").alias("cell_id"))
+        assign_r = _assign_pass(
+            cent.select("c_cell", "cv", _norm("cv").alias("ncv"))
         )
         dims = (
             assign_r.select("cell_id", F.posexplode(_dvec("v")).alias("i", "x"))
@@ -969,16 +1008,9 @@ def _ivf_build_from(e: DataFrame):
         cent = cent.localCheckpoint(eager=True)
 
     # inverted file against the refined centroids
-    sa = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "c_cell",
-        F.round(cosine(_dvec("v"), F.col("cv")), 4).alias("cos"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_cell")
-    assign = (
-        sa.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("v").alias("cv_v"), "c_cell")
-    )
+    assign = _assign_pass(
+        cent.select("c_cell", "cv", _norm("cv").alias("ncv"))
+    ).select("vec_id", F.col("v").alias("cv_v"), F.col("cell_id").alias("c_cell"))
     return cent, assign
 
 
@@ -987,7 +1019,7 @@ def _ivf_build_from(e: DataFrame):
 #: of the cache key, so stale artifacts can never serve a new algorithm.
 _IVF_INDEX_ENV = "SPARK_GRAFT_INDEX_DIR"
 _IVF_INDEX_DEFAULT = "/tmp/spark_graft_index_cache"
-_IVF_INDEX_VERSION = "1"
+_IVF_INDEX_VERSION = "2"
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
