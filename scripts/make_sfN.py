@@ -147,16 +147,36 @@ def _skew_hot_key(tbl: pa.Table, sel_col: str, key_col: str, hot_key: int) -> pa
 
 
 def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
-    """Rotation wraps at DIM=64: with mult > 64, copy k is an EXACT
-    embedding-space duplicate of copy k-64 (cos = 1.0) — realistic
-    size-2 duplicate clusters, still linear in n, and the dedup
-    keep-list's oracle mirrors them exactly."""
+    """Rotation + bounded wrap duplicates. np.roll wraps at DIM=64, so
+    plain rotation made EVERY copy with the same k%64 an exact duplicate
+    — clusters of size mult/64 and C(mult/64, 2)·64·n_src true-dup
+    pairs, QUADRATIC in the multiplier (r10: the mult=5000 point hit
+    ~385M pairs and ENOSPC'd the keep-list's verify shuffle; the old
+    docstring's "size-2 clusters, linear in n" claim was simply wrong
+    past mult=128). Now only the FIRST wrap (j = k//64 == 1) stays an
+    exact duplicate of the j=0 copy — genuine size-2 clusters — and
+    every later wrap is decorrelated by flipping the sign of a
+    j-dependent ~20% element subset (deterministic; cos vs the unflipped
+    rotation ≈ 1 − 2·(13/64) ≈ 0.6, well under the dup threshold), so
+    duplicate RATES stay at source-corpus levels as the multiplier
+    grows, matching the documents synthesis design. Copies with k < 128
+    are byte-identical to the old logic, so composed scale points
+    (sf1, sf10: effective mult ≤ 100) are unaffected."""
     if k == 0:
         return tbl
-    vecs = [
-        np.roll(np.asarray(v, dtype=np.float32), k).tolist()
-        for v in tbl.column("embedding").to_pylist()
-    ]
+    j = k // 64
+    flip = None
+    if j >= 2:
+        flip = np.array(
+            [1.0 if (i * 2654435761 + j) % 5 else -1.0 for i in range(64)],
+            dtype=np.float32,
+        )
+    vecs = []
+    for v in tbl.column("embedding").to_pylist():
+        a = np.roll(np.asarray(v, dtype=np.float32), k)
+        if flip is not None:
+            a = a * flip
+        vecs.append(a.tolist())
     return tbl.set_column(
         tbl.schema.get_field_index("embedding"),
         tbl.schema.field("embedding"),
