@@ -210,24 +210,28 @@ def make_scale_point(
         cust = pq.read_table(os.path.join(src, "customer.parquet"))
         hot_cust = pc.min(cust.column("c_custkey")).as_py()
         print(f"skew mode: hot customer/user key = {hot_cust}")
-    # Copies stream to the writer in ~4M-row flushes instead of one
+    # Copies stream to the writer in bounded flushes instead of one
     # giant concat (r10): the concat form held mult × table in RAM —
     # ~70 GB for lineitem at the sf100 point — and wrote row groups
     # sized by whatever pyarrow chose. Streaming bounds memory at one
     # flush buffer and pins the row-group size so the output stays
     # splittable (a single-row-group file is ONE scan partition no
     # matter its size — the r9 scan-floor lesson, this time fixed at
-    # the producer).
-    flush_rows = 4_000_000
+    # the producer). Row groups are sized by BYTES (~128 MB in-memory,
+    # Spark's maxPartitionBytes default), not rows: a 4M-row flush on
+    # the 260 B/row embeddings table made ~1 GB row groups — three scan
+    # partitions for 10M vectors, and three GC-thrashing straggler
+    # tasks in every downstream stage at the n=10M point.
+    flush_bytes = 128 * 1024 * 1024
     for name, offsets in KEY_OFFSETS.items():
         if tables is not None and name not in tables:
             continue
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         writer = None
-        buf, buf_rows, total = [], 0, 0
+        buf, buf_bytes, total = [], 0, 0
 
         def _flush():
-            nonlocal writer, buf, buf_rows, total
+            nonlocal writer, buf, buf_bytes, total
             if not buf:
                 return
             chunk = pa.concat_tables(buf)
@@ -235,9 +239,12 @@ def make_scale_point(
                 writer = pq.ParquetWriter(
                     os.path.join(dst, f"{name}.parquet"), chunk.schema
                 )
-            writer.write_table(chunk, row_group_size=flush_rows)
+            # one row group per flush: in-memory flush budget ~= Spark's
+            # default maxPartitionBytes, so every table scans >= 32-way
+            # once it is bigger than ~4 GB regardless of row width
+            writer.write_table(chunk, row_group_size=chunk.num_rows)
             total += chunk.num_rows
-            buf, buf_rows = [], 0
+            buf, buf_bytes = [], 0
 
         for k in range(mult):
             t = _shift_keys(base, offsets, k, offset_mult)
@@ -250,8 +257,8 @@ def make_scale_point(
             elif skew and name == "events":
                 t = _skew_hot_key(t, "event_id", "user_id", hot_cust)
             buf.append(t)
-            buf_rows += t.num_rows
-            if buf_rows >= flush_rows:
+            buf_bytes += t.nbytes
+            if buf_bytes >= flush_bytes:
                 _flush()
         _flush()
         if writer is not None:
