@@ -165,18 +165,35 @@ def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     if k == 0:
         return tbl
     j = k // 64
-    flip = None
-    if j >= 2:
-        flip = np.array(
-            [1.0 if (i * 2654435761 + j) % 5 else -1.0 for i in range(64)],
-            dtype=np.float32,
-        )
-    vecs = []
-    for v in tbl.column("embedding").to_pylist():
-        a = np.roll(np.asarray(v, dtype=np.float32), k)
-        if flip is not None:
-            a = a * flip
-        vecs.append(a.tolist())
+    if j < 2:
+        # rotation (j=0) and the single exact wrap duplicate (j=1) —
+        # byte-identical to the original logic for k < 128, so composed
+        # scale points (sf1, sf10: effective mult ≤ 100) are unaffected
+        vecs = [
+            np.roll(np.asarray(v, dtype=np.float32), k).tolist()
+            for v in tbl.column("embedding").to_pylist()
+        ]
+    else:
+        # Later wraps get FRESH deterministic vectors seeded by the copy
+        # index, norm-matched to the source. Diagonal ±1 decorrelation
+        # (two attempts in r10) cannot keep 78 variants of the SAME
+        # vector pairwise under the 0.3 dup threshold — sign-mask
+        # cosines are heavy-tailed (Σ±x²/Σx², std ≈ 0.22), and the
+        # first mask construction ((i·C + j) % 5) collapsed to five
+        # distinct masks outright, measured as 75.8M true-dup pairs at
+        # n=10M instead of the intended 128k. Independent vectors have
+        # pairwise cos ~ N(0, 1/64); only band-bucket cohabitants are
+        # ever verified, so above-threshold random pairs stay a few
+        # percent of the Θ(1)/vector collision waste — true-dup RATES
+        # no longer grow with the multiplier at all.
+        src = [np.asarray(v, dtype=np.float32) for v in tbl.column("embedding").to_pylist()]
+        rng = np.random.default_rng(k)
+        fresh = rng.standard_normal((len(src), 64)).astype(np.float32)
+        vecs = []
+        for v, f in zip(src, fresh):
+            nf = float(np.linalg.norm(f))
+            scale = float(np.linalg.norm(v)) / nf if nf else 1.0
+            vecs.append((f * scale).tolist())
     return tbl.set_column(
         tbl.schema.get_field_index("embedding"),
         tbl.schema.field("embedding"),
