@@ -247,48 +247,69 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard near-dup (ground truth for the LSH variants)
 # --------------------------------------------------------------------------
 
-#: Oracle fragment mirroring _candidate_common_counts BY CONSTRUCTION
-#: (ADVICE r6 #2): candidates must share >= 1 below-DF-cap shingle —
-#: exactly the Spark path's candidate semantics — then common counts are
-#: exact over the UNCAPPED shingle table. Assumes a CTE ``sh(doc_id,
-#: shingle)`` is in scope; yields CTEs ``rare``/``cand``/``com(doc_a,
-#: doc_b, c)``. Every shingle-pair oracle composes this so a doc made
-#: entirely of above-cap boilerplate is excluded in BOTH engines, not
-#: just Spark.
-_CAPPED_COM_SQL = f"""
-    rare AS (
-        SELECT shingle FROM sh GROUP BY shingle
-        HAVING count(*) <= {MAX_SHINGLE_DF}
+def _capped_com_sql(materialized: bool = False) -> str:
+    """Oracle fragment mirroring _candidate_common_counts BY CONSTRUCTION
+    (ADVICE r6 #2): candidates must share >= 1 below-DF-cap shingle —
+    exactly the Spark path's candidate semantics — with EXACT common
+    counts in the same two parts as the Spark r6 rewrite (VERDICT r10
+    #2): ``c_rare`` comes straight out of the capped self-join's
+    group-by (no pair DISTINCT, no re-join against the full shingle
+    table), and ``c_hot`` recovers above-cap commons by joining the
+    candidate PAIRS against each side's few hot shingles. The previous
+    cand ⋈ sh ⋈ sh form replayed the FULL ~75M-row sf10 shingle table
+    through the common-count join and spilled past free disk (>59 GB,
+    twice); this form's intermediates are Σ_below-cap df² + Σ_pairs
+    |A ∩ hot| — the same bound the Spark plan carries. Value-identical:
+    every common shingle is exactly one of below-cap or above-cap, so
+    c = c_rare + c_hot partitions the old count.
+
+    Assumes a CTE ``sh(doc_id, shingle)`` is in scope; yields
+    ``com(doc_a, doc_b, c)`` (plus internals). ``materialized`` emits
+    ``AS MATERIALIZED`` on every multiply-referenced CTE — the r8
+    CTE-spill-bomb treatment, now a parameter instead of a fragile
+    post-hoc ``str.replace`` on the fragment text (ADVICE r10)."""
+    m = "MATERIALIZED " if materialized else ""
+    return f"""
+    dftab AS {m}(
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id, shingle FROM sh
-              WHERE shingle IN (SELECT shingle FROM rare)) a
-        JOIN (SELECT doc_id, shingle FROM sh
-              WHERE shingle IN (SELECT shingle FROM rare)) b
+    ridx AS {m}(
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN dftab d ON s.shingle = d.shingle AND d.df <= {MAX_SHINGLE_DF}
+    ),
+    hotsh AS {m}(
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN dftab d ON s.shingle = d.shingle AND d.df > {MAX_SHINGLE_DF}
+    ),
+    com_rare AS {m}(
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
+        FROM ridx a JOIN ridx b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ),
     com AS (
-        SELECT cand.doc_a, cand.doc_b, count(*) AS c
-        FROM cand
-        JOIN sh x ON x.doc_id = cand.doc_a
-        JOIN sh y ON y.doc_id = cand.doc_b AND y.shingle = x.shingle
-        GROUP BY 1, 2
+        SELECT cr.doc_a, cr.doc_b, cr.c_rare + coalesce(h.c_hot, 0) AS c
+        FROM com_rare cr LEFT JOIN (
+            SELECT cr2.doc_a, cr2.doc_b, count(*) AS c_hot
+            FROM com_rare cr2
+            JOIN hotsh x ON x.doc_id = cr2.doc_a
+            JOIN hotsh y ON y.doc_id = cr2.doc_b AND y.shingle = x.shingle
+            GROUP BY 1, 2
+        ) h ON cr.doc_a = h.doc_a AND cr.doc_b = h.doc_b
     )"""
 
 
 @register(
     "dedup_ngram_jaccard",
-    # sh is referenced SIX times (sz, rare, cand a/b, com x/y) and rare
-    # twice: unmaterialized, DuckDB re-inlines the shingle generation per
-    # reference — fine at sf1 (~7.5M shingle rows) but a >40 GB spill
-    # that ENOSPC'd the sf10 fingerprint attempt (r10). AS MATERIALIZED
-    # evaluates each once; same rows, same hashes (the r8 CTE-spill-bomb
-    # treatment, memorialized for this oracle at its first sf10 run).
+    # sh is multiply referenced (sz, dftab, ridx, hotsh): unmaterialized,
+    # DuckDB re-inlines the shingle generation per reference — fine at
+    # sf1 (~7.5M shingle rows) but a >40 GB spill that ENOSPC'd the sf10
+    # fingerprint attempt (r10). materialized=True evaluates each once;
+    # same rows, same hashes (the r8 CTE-spill-bomb treatment).
     oracle=f"""
     WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    {_CAPPED_COM_SQL.replace("rare AS (", "rare AS MATERIALIZED (", 1)}
+    {_capped_com_sql(materialized=True)}
     SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
     FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
     WHERE c / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
@@ -299,7 +320,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via a DF-capped
     inverted-index self-join — no quadratic all-pairs comparison, and no
     hot-shingle posting-list explosion. The oracle encodes the SAME
-    DF-capped candidate generation (_CAPPED_COM_SQL), so both engines
+    DF-capped candidate generation (_capped_com_sql), so both engines
     share candidate semantics by construction rather than by the
     equivalence-bound argument alone (ADVICE r6 #2)."""
     sa = shingle_arrays(_docs(spark, sf_dir)).localCheckpoint()
@@ -1001,9 +1022,9 @@ MIN_CONTAIN_SHINGLES = 5
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    {_CAPPED_COM_SQL},
+    {_capped_com_sql(materialized=True)},
     directed AS (
         SELECT doc_a AS contained_doc, doc_b AS container_doc, c,
                x.n AS n_contained
@@ -1039,7 +1060,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows derive from the same count by dividing by each side's size. One
     extra projection over dedup_ngram_jaccard's plan — no extra join or
     shuffle. The oracle encodes the SAME capped candidate generation
-    (_CAPPED_COM_SQL): for containment the Jaccard equivalence-bound
+    (_capped_com_sql): for containment the Jaccard equivalence-bound
     argument is genuinely weaker (a 5-shingle doc of pure boilerplate
     contained in a bigger doc would otherwise appear oracle-side only),
     so candidate semantics are shared by construction (ADVICE r6 #2)."""
@@ -1210,9 +1231,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_source_overlap_matrix",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    {_CAPPED_COM_SQL},
+    {_capped_com_sql(materialized=True)},
     pairs AS (
         SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 4) AS jaccard
         FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id

@@ -192,7 +192,13 @@ def _copy_embeddings(tbl: pa.Table, k: int) -> pa.Table:
         vecs = []
         for v, f in zip(src, fresh):
             nf = float(np.linalg.norm(f))
-            scale = float(np.linalg.norm(v)) / nf if nf else 1.0
+            nv = float(np.linalg.norm(v))
+            # norm-match only when BOTH norms are positive: a zero-norm
+            # SOURCE vector would scale every j>=2 copy to all-zeros —
+            # exact duplicates of each other, quietly re-introducing the
+            # quadratic true-dup blowup this path exists to avoid (ADVICE
+            # r10). Zero-norm sources keep the fresh unit-scale vector.
+            scale = nv / nf if (nf and nv) else 1.0
             vecs.append((f * scale).tolist())
     return tbl.set_column(
         tbl.schema.get_field_index("embedding"),
