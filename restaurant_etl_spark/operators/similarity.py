@@ -53,8 +53,9 @@ BAND_BITS = N_BITS // N_BANDS
 _EMB_CONTRACT_OK: dict[str, int] = {}
 
 #: rows spot-checked for exact-DIM length when the parquet footers prove
-#: the rest of the contract (see _emb); a LIMIT scan touches only the
-#: first partition(s), so this stays O(1) in corpus size.
+#: the rest of the contract (see _emb / _spot_check_dims); the sample is
+#: drawn from row groups SPREAD across all files, one bounded pyarrow
+#: batch per sampled group, so this stays O(1) in corpus size.
 _EMB_CONTRACT_SAMPLE = 4096
 
 #: scan-parallelism floor (r9, found by the sf1→sf10 sweep): rows per
@@ -112,11 +113,13 @@ def _emb_footer_evidence(sf_dir: str):
     - leaf ``null_count == 0`` for the embedding element column proves
       there are NO null lists, NO empty lists and NO null elements (all
       three surface as undefined leaves in parquet's def-level stats);
-    - leaf ``num_values == n·DIM`` then proves the total element count
-      is exactly DIM per row ON AVERAGE — compensating length errors
-      (63+65) are the one case the footer cannot exclude, which is what
-      the _EMB_CONTRACT_SAMPLE spot-check plus the loud full-scan
-      fallback cover;
+    - leaf ``num_values == num_rows·DIM`` checked PER ROW GROUP (ADVICE
+      r10: the global sum alone let errors compensate across the whole
+      corpus) proves each row group's element count is exactly DIM per
+      row on average — compensating length errors (63+65) WITHIN one
+      row group are the one case the footer cannot exclude, which the
+      spread row-group spot-check (:func:`_spot_check_dims`) samples
+      for;
     - ``vec_id`` leaf ``null_count == 0`` proves no null ids (uniqueness
       still needs a scan, but a column-pruned one — see caller).
 
@@ -128,13 +131,13 @@ def _emb_footer_evidence(sf_dir: str):
         return None, False
 
     n = 0
-    emb_values = 0
     proven = True
     for f in _emb_files(sf_dir):
         md = pq.ParquetFile(f).metadata
         n += md.num_rows
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
+            rg_emb_values = 0
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 path = col.path_in_schema
@@ -145,10 +148,52 @@ def _emb_footer_evidence(sf_dir: str):
                     elif st.null_count != 0:
                         proven = False
                     elif path.startswith("embedding."):
-                        emb_values += col.num_values
-    if proven and emb_values != n * DIM:
-        proven = False
+                        rg_emb_values += col.num_values
+            if proven and rg_emb_values != g.num_rows * DIM:
+                proven = False
     return n, proven
+
+
+#: row groups sampled by _spot_check_dims — spread evenly across ALL
+#: files (first and last always included), bounding the fast path's
+#: data-page reads to a constant regardless of corpus size.
+_EMB_SPOT_ROW_GROUPS = 8
+
+
+def _spot_check_dims(sf_dir: str, budget: int = _EMB_CONTRACT_SAMPLE):
+    """(rows_checked, bad_rows): exact-DIM spot check on rows drawn from
+    row groups SPREAD across every file (ADVICE r10: ``e.limit(N)`` reads
+    from the first partition only, so a corpus whose compensating length
+    errors sit past the first file's head passed a check the full-scan
+    fallback failed loudly on). Reads at most _EMB_SPOT_ROW_GROUPS row
+    groups' worth of pages, one pyarrow batch each — O(1) in corpus
+    size."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rgs = []
+    for f in _emb_files(sf_dir):
+        md = pq.ParquetFile(f).metadata
+        rgs.extend((f, i) for i in range(md.num_row_groups))
+    if not rgs:
+        return 0, 0
+    k = min(len(rgs), _EMB_SPOT_ROW_GROUPS)
+    sel = (
+        sorted({rgs[(i * (len(rgs) - 1)) // (k - 1)] for i in range(k)})
+        if k > 1
+        else rgs[:1]
+    )
+    per = max(1, budget // len(sel))
+    checked = bad = 0
+    for f, rg in sel:
+        for batch in pq.ParquetFile(f).iter_batches(
+            batch_size=per, row_groups=[rg], columns=["embedding"]
+        ):
+            lens = pc.list_value_length(batch.column(0))
+            bad += int(pc.sum(pc.cast(pc.not_equal(lens, DIM), "int64")).as_py() or 0)
+            checked += batch.num_rows
+            break
+    return checked, bad
 
 
 def _emb_contract_check(e: DataFrame, sf_dir: str) -> int:
@@ -156,9 +201,14 @@ def _emb_contract_check(e: DataFrame, sf_dir: str) -> int:
 
     Fast path (footer-proven corpora): the only scans are a COLUMN-PRUNED
     vec_id uniqueness aggregate (~8 bytes/row instead of the full
-    DIM-float arrays) and a LIMIT-bounded exact-DIM spot check — the
-    full-corpus embedding pre-pass is gone. Fallback (stats missing):
-    the original one-shot full scan. Violations fail loudly either way."""
+    DIM-float arrays) and an exact-DIM spot check over row groups spread
+    across every file — the full-corpus embedding pre-pass is gone.
+    Fallback (stats missing): the original one-shot full scan, which
+    fails loudly on any violation. The fast path's residual blind spot
+    is a row group whose length errors compensate exactly (63+65)
+    AND that falls between the sampled row groups AND outside each
+    sample batch — per-row-group footer balance plus the spread sample
+    make that a deliberate construction, not a plausible corruption."""
     n_footer, footer_proven = _emb_footer_evidence(sf_dir)
     if footer_proven:
         bad = e.select(
@@ -172,17 +222,13 @@ def _emb_contract_check(e: DataFrame, sf_dir: str) -> int:
                 f"scan n={bad['n']}) — the ids-only candidate staging "
                 "would emit duplicate scored rows"
             )
-        sample_bad = (
-            e.limit(_EMB_CONTRACT_SAMPLE)
-            .selectExpr(f"count_if(size(embedding) != {DIM}) AS wrong_dim")
-            .collect()[0]["wrong_dim"]
-        )
+        n_checked, sample_bad = _spot_check_dims(sf_dir)
         if sample_bad:
             raise ValueError(
                 f"embeddings contract violated at {sf_dir}: {sample_bad} of "
-                f"the first {_EMB_CONTRACT_SAMPLE} rows are not exactly "
-                f"DIM={DIM} elements (footer element count balanced — "
-                "compensating length errors)"
+                f"{n_checked} spot-checked rows (row groups spread across "
+                f"all files) are not exactly DIM={DIM} elements (footer "
+                "element count balanced — compensating length errors)"
             )
         return n_footer
     bad = e.selectExpr(

@@ -19,7 +19,13 @@ per-trigger accounting, not wall-clock guesswork):
 Prints ONE JSON line; the driver-style artifact is committed as
 STREAMING_BENCH_r{N}.json. Usage:
 
-    python scripts/bench_streaming.py [sf_dir]     # default sf0.1
+    python scripts/bench_streaming.py [sf_dir] [prev_artifact]
+        [--envelope N]            # fresh-JVM repetitions per small
+                                  # workload (default 3); median run is
+                                  # the representative, envelope recorded
+        [--state-decade BIG_DIR]  # add the 10x state scale point
+        [--one WORKLOAD SF TAG]   # internal child mode (one point per
+                                  # fresh interpreter/JVM — ADVICE r10)
 """
 
 from __future__ import annotations
@@ -272,8 +278,103 @@ def _ratio(a, b):
     return round(b / a, 2) if a and b else None
 
 
+#: marker line prefix for the child-process protocol (_run_point)
+_CHILD_MARK = "BENCH_STREAMING_ONE:"
+
+
+def _run_one(workload: str, sf_dir: str, tag: str) -> int:
+    """Child mode: run ONE workload in THIS process (its own fresh JVM —
+    ADVICE r10: the state-decade big point previously ran in the same
+    warm JVM/Spark session as the small point, contrary to the repo's
+    fresh-JVM-per-scale-point methodology; warm codegen/classes could
+    flatter the big point's latency ratio). Emits the metrics dict on a
+    marked line for the parent to parse."""
+    spark = get_spark(f"bench_streaming_{workload}{tag}")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    if workload == "session":
+        m = bench_session_windows(spark, sf_dir, tag=tag)
+    elif workload == "session_big":
+        m = bench_session_windows(
+            spark, sf_dir, n_files=160, files_per_trigger=2, tag=tag
+        )
+    elif workload == "cdc":
+        m = bench_cdc_sink(spark, sf_dir, tag=tag)
+    else:
+        raise SystemExit(f"unknown --one workload {workload!r}")
+    print(_CHILD_MARK + json.dumps(m))
+    return 0
+
+
+def _run_point(workload: str, sf_dir: str, tag: str) -> dict:
+    """Run one workload point in a FRESH interpreter/JVM."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--one", workload, sf_dir, tag],
+        capture_output=True, text=True, timeout=3900,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_CHILD_MARK):
+            return json.loads(line[len(_CHILD_MARK):])
+    raise RuntimeError(
+        f"child {workload}{tag} emitted no metrics (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def _envelope(workload: str, sf_dir: str, n: int) -> dict:
+    """n fresh-JVM repetitions of one workload (VERDICT r10 #8: the CDC
+    sink's -8.7% round-over-round throughput drift had no classification
+    — a single reading cannot distinguish drift from run variance).
+    Returns the median-throughput run as the representative plus the
+    envelope of steady rows/s across repetitions."""
+    runs = [_run_point(workload, sf_dir, f"_{workload}_e{i}") for i in range(n)]
+    keyed = sorted(
+        runs, key=lambda m: (m["steady"]["rows_per_sec"] or 0)
+    )
+    rep = keyed[len(keyed) // 2]
+    rep["envelope"] = {
+        "n_runs": n,
+        "steady_rows_per_sec": [r["steady"]["rows_per_sec"] for r in keyed],
+        "pooled_rows_per_sec": sorted(
+            (r["pooled"]["rows_per_sec"] or 0) for r in runs
+        ),
+        "steady_median_batch_ms": sorted(
+            (r["steady"]["batch_ms"]["median"] or 0) for r in runs
+        ),
+    }
+    return rep
+
+
+def _classify_vs_prev(vs_prev: dict | None, workloads: dict) -> None:
+    """Attach an envelope-based classification to each vs_prev delta:
+    the prior round's pooled throughput falling INSIDE this round's
+    fresh-JVM pooled envelope is run variance; outside it is a confirmed
+    delta needing a bisect (the bench.py envelope discipline, applied to
+    the streaming artifact — VERDICT r10 #8)."""
+    if not vs_prev:
+        return
+    for wl, delta in vs_prev.items():
+        env = (workloads.get(wl) or {}).get("envelope")
+        p_rps = delta.get("prev_rows_per_sec")
+        if not env or p_rps is None:
+            delta["classification"] = "no_envelope"
+            continue
+        lo, hi = env["pooled_rows_per_sec"][0], env["pooled_rows_per_sec"][-1]
+        if lo <= p_rps <= hi:
+            delta["classification"] = "run_variance"
+        else:
+            delta["classification"] = (
+                "confirmed_faster" if p_rps < lo else "confirmed_slower"
+            )
+        delta["envelope_pooled_rows_per_sec"] = [lo, hi]
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
+    if argv[:1] == ["--one"]:
+        return _run_one(argv[1], argv[2], argv[3])
     decade_big = None
     if "--state-decade" in argv:
         # VERDICT r9 #5: the stream path gets its own scale decade. The big
@@ -283,25 +384,27 @@ def main() -> int:
         # point stages 10× the FILES at the same files-per-trigger, so
         # rows-per-batch stay equal and any latency growth isolates the
         # STATE-SIZE effect (10× more batches, state rows growing to 10×)
-        # instead of conflating it with batch volume.
+        # instead of conflating it with batch volume. Every point runs in
+        # a FRESH interpreter/JVM (ADVICE r10).
         i = argv.index("--state-decade")
         decade_big = argv[i + 1] if i + 1 < len(argv) else "/tmp/spark_graft_sf1"
+        argv = argv[:i] + argv[i + 2:]
+    n_env = 3
+    if "--envelope" in argv:
+        i = argv.index("--envelope")
+        n_env = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     prev = argv[1] if len(argv) > 1 else _newest_prev_artifact()
     shutil.rmtree(SCRATCH, ignore_errors=True)
-    spark = get_spark("bench_streaming")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
     workloads = {
-        "session_windows_rocksdb": bench_session_windows(spark, sf_dir),
-        "cdc_sink_rocksdb": bench_cdc_sink(spark, sf_dir),
+        "session_windows_rocksdb": _envelope("session", sf_dir, n_env),
+        "cdc_sink_rocksdb": _envelope("cdc", sf_dir, n_env),
     }
     state_decade = None
     if decade_big:
-        big_session = bench_session_windows(
-            spark, decade_big, n_files=160, files_per_trigger=2, tag="_big"
-        )
-        big_cdc = bench_cdc_sink(spark, decade_big, tag="_big")
+        big_session = _run_point("session_big", decade_big, "_big")
+        big_cdc = _run_point("cdc", decade_big, "_cdc_big")
         small_session, small_cdc = (
             workloads["session_windows_rocksdb"], workloads["cdc_sink_rocksdb"]
         )
@@ -336,15 +439,20 @@ def main() -> int:
                 small_cdc, big_cdc,
                 "same 10-batch shape on 10x rows and 10x merge keys"),
         }
+    vs_prev = _delta_vs_prev(workloads, prev)
+    _classify_vs_prev(vs_prev, workloads)
     result = {
         "metric": "streaming_bench",
-        "spark_version": spark.version,
         "state_store": "rocksdb",
+        "methodology": "every point in a fresh interpreter/JVM (ADVICE "
+                       "r10); small workloads = median of an n-run "
+                       "envelope; vs_prev classified against the pooled "
+                       "envelope",
         "phases": "warmup = first non-empty batch (state-store open + codegen); "
                   "steady = the rest; pooled = r8-comparable view",
         "workloads": workloads,
         "state_decade": state_decade,
-        "vs_prev": _delta_vs_prev(workloads, prev),
+        "vs_prev": vs_prev,
         "prev_artifact": os.path.basename(prev),
         "sf_dir": sf_dir,
     }

@@ -97,11 +97,20 @@ _FP_GRID_TYPES = ("float", "double", "decimal")
 #: within FP noise of a floor boundary could quantize differently on a
 #: different run. We fail when the nearest-boundary distance is inside
 #: slack AND the two engines disagree on that distance (their doubles
-#: differ near a boundary). Bit-EQUAL tiny margins are exact-lattice
-#: values (e.g. jaccard i/2^k landing exactly on the grid) — the
-#: arithmetic is exact in both engines, so floor is deterministic; those
-#: pass with an annotation rather than refusing a sound compare.
+#: differ near a boundary). Bit-EQUAL tiny margins pass with an annotation
+#: ONLY when every near-boundary value is verifiably ON the dp lattice —
+#: scaled value integral to within _FP_LATTICE_ULPS ulps (e.g. jaccard
+#: i/2^k landing exactly on the grid: the arithmetic is exact in both
+#: engines, so floor is deterministic). A bit-equal tiny margin that is
+#: OFF the lattice is a coincidence this run — a nondeterministic
+#: partition-sum order could flip the floor on a re-run — so it refuses
+#: like the disagreeing case (ADVICE r10).
 _FP_GRID_SLACK = 1e-9
+
+#: ulp tolerance for the on-lattice proof: the scaled form y = x·10^dp
+#: + 0.5 carries one multiply + one add of rounding, so an exactly-
+#: representable lattice value lands within ~2 ulps of the integer.
+_FP_LATTICE_ULPS = 2
 
 
 def _fp_grid_cols(schema_fields) -> list[str]:
@@ -130,11 +139,20 @@ def _fingerprint_spark(sdf, dp: int | None = None):
         t = f.dataType.simpleString()
         if f.name in grid:
             y = F.col(f.name).cast("double") * F.lit(float(10**dp)) + F.lit(0.5)
+            m = F.least(y - F.floor(y), F.floor(y) + F.lit(1.0) - y)
+            # off-lattice flag (ADVICE r10): near a boundary but NOT
+            # integral to within _FP_LATTICE_ULPS ulps of the scaled
+            # value — a bit-equal margin on such a row is coincidence,
+            # not determinism
+            ulp_tol = F.greatest(F.abs(y), F.lit(1.0)) * F.lit(
+                _FP_LATTICE_ULPS * 2.0**-52
+            )
             exprs.append((f.name, F.floor(y).cast("bigint").cast("string")))
+            dists.append(m.alias(f"m_{f.name}"))
             dists.append(
-                F.least(y - F.floor(y), F.floor(y) + F.lit(1.0) - y).alias(
-                    f"m_{f.name}"
-                )
+                F.when(
+                    (m < F.lit(_FP_GRID_SLACK)) & (m > ulp_tol), 1
+                ).otherwise(0).alias(f"o_{f.name}")
             )
         elif t in _FP_SAFE_TYPES:
             exprs.append((f.name, F.col(f.name).cast("string")))
@@ -158,14 +176,19 @@ def _fingerprint_spark(sdf, dp: int | None = None):
             F.sum("h1").alias("s1"),
             F.sum("h2").alias("s2"),
             *[F.min(f"m_{c}").alias(f"m_{c}") for c in sorted(grid)],
+            *[F.sum(f"o_{c}").alias(f"o_{c}") for c in sorted(grid)],
         )
         .collect()[0]
     )
-    margin = None
+    margin, off_lattice = None, 0
     if grid:
         vals = [row[f"m_{c}"] for c in sorted(grid) if row[f"m_{c}"] is not None]
         margin = min(vals) if vals else None
-    return int(row["n"]), int(row["s1"] or 0), int(row["s2"] or 0), margin
+        off_lattice = sum(int(row[f"o_{c}"] or 0) for c in sorted(grid))
+    return (
+        int(row["n"]), int(row["s1"] or 0), int(row["s2"] or 0),
+        margin, off_lattice,
+    )
 
 
 def _fingerprint_duck(
@@ -182,32 +205,40 @@ def _fingerprint_duck(
     floor(x·10^dp + 0.5) double arithmetic."""
     grid = sorted(set(grid_cols or []) & set(cols))
     canon_parts, dist_sel = [], []
+    ulp_factor = _FP_LATTICE_ULPS * 2.0**-52
     for c in sorted(cols):
         if c in grid:
             y = f"(CAST({c} AS DOUBLE) * {float(10**dp)!r} + 0.5)"
+            m = f"least({y} - floor({y}), floor({y}) + 1.0 - {y})"
             canon_parts.append(
                 f"coalesce(CAST(CAST(floor({y}) AS BIGINT) AS VARCHAR), '<NULL>')"
             )
+            dist_sel.append(f"{m} AS m_{c}")
             dist_sel.append(
-                f"least({y} - floor({y}), floor({y}) + 1.0 - {y}) AS m_{c}"
+                f"CASE WHEN {m} < {_FP_GRID_SLACK!r} AND {m} > "
+                f"greatest(abs({y}), 1.0) * {ulp_factor!r} "
+                f"THEN 1 ELSE 0 END AS o_{c}"
             )
         else:
             canon_parts.append(f"coalesce(CAST({c} AS VARCHAR), '<NULL>')")
     canon = " || '|' || ".join(canon_parts)
     inner_extra = (", " + ", ".join(dist_sel)) if dist_sel else ""
     margin_aggs = "".join(f", min(m_{c}) AS m_{c}" for c in grid)
+    off_aggs = "".join(f", sum(o_{c}) AS o_{c}" for c in grid)
     res = con.execute(
         f"""
         SELECT count(*) AS n,
                sum(('0x' || substr(md5(s), 1, 15))::BIGINT) AS s1,
                sum(('0x' || substr(md5(s), 17, 15))::BIGINT) AS s2
-               {margin_aggs}
+               {margin_aggs}{off_aggs}
         FROM (SELECT {canon} AS s{inner_extra} FROM ({sql}) fp_inner) fp_rows
         """
     ).fetchone()
-    vals = [float(v) for v in res[3:] if v is not None]
-    margin = min(vals) if grid and vals else None
-    return int(res[0]), int(res[1] or 0), int(res[2] or 0), margin
+    k = len(grid)
+    margins = [float(v) for v in res[3:3 + k] if v is not None]
+    margin = min(margins) if grid and margins else None
+    off_lattice = sum(int(v or 0) for v in res[3 + k:3 + 2 * k]) if grid else 0
+    return int(res[0]), int(res[1] or 0), int(res[2] or 0), margin, off_lattice
 
 
 def _default_duckdb_mem() -> str:
@@ -324,8 +355,13 @@ def main() -> int:
             # construction (see _FP_GRID_SLACK), but a value inside slack
             # of a floor boundary on which the engines DISAGREE means the
             # compare could flip on a re-run with different partition sum
-            # order — refuse rather than report luck as proof.
+            # order — refuse rather than report luck as proof. Bit-equal
+            # tiny margins must additionally be ON the dp lattice
+            # (integral scaled value to within _FP_LATTICE_ULPS ulps,
+            # counted in-engine) before the deterministic annotation is
+            # earned (ADVICE r10).
             s_m, d_m = s_fp[3], d_fp[3]
+            s_off, d_off = s_fp[4], d_fp[4]
             grid_note = ""
             if dp is not None and (s_m is not None or d_m is not None):
                 worst = min(m for m in (s_m, d_m) if m is not None)
@@ -335,10 +371,22 @@ def main() -> int:
                         f"{worst:.3e} < {_FP_GRID_SLACK} and engines "
                         f"disagree (spark {s_m!r} vs duckdb {d_m!r})"
                     )
+                elif worst < _FP_GRID_SLACK and (s_off or d_off):
+                    problems.append(
+                        f"grid-unsafe at dp={dp}: boundary margin "
+                        f"{worst:.3e} bit-equal but {s_off}/{d_off} "
+                        "(spark/duckdb) near-boundary values are OFF the "
+                        "dp lattice (margin > "
+                        f"{_FP_LATTICE_ULPS} ulp of the scaled value) — "
+                        "a nondeterministic sum order could flip the "
+                        "floor on a re-run"
+                    )
                 elif worst < _FP_GRID_SLACK:
                     grid_note = (
                         f" dp={dp} margin={worst:.3e} (exact-lattice "
-                        "boundary, margins bit-equal — deterministic)"
+                        "boundary verified on-grid within "
+                        f"{_FP_LATTICE_ULPS} ulps, margins bit-equal — "
+                        "deterministic)"
                     )
                 else:
                     grid_note = f" dp={dp} margin={worst:.3e}"

@@ -3,9 +3,10 @@
 Contract: every ``embedding`` is exactly DIM non-NULL floats and ``vec_id``
 is unique — violations fail LOUDLY. What changed in r10 is the COST: for
 corpora whose parquet footers carry statistics, the full-corpus pre-pass is
-replaced by footer evidence (row counts, leaf null counts, element totals)
-plus a column-pruned vec_id uniqueness aggregate and a LIMIT-bounded
-exact-DIM spot check. The cache is keyed on a file fingerprint (names +
+replaced by footer evidence (row counts, leaf null counts, PER-ROW-GROUP
+element balance) plus a column-pruned vec_id uniqueness aggregate and an
+exact-DIM spot check over row groups spread across all files (ADVICE r10:
+the earlier LIMIT form read only the first partition). The cache is keyed on a file fingerprint (names +
 sizes + mtimes), so an in-process rewrite under the same path revalidates
 instead of serving a stale row count to the repartition floor.
 """
@@ -105,9 +106,9 @@ def test_null_element_defeats_footer_proof(spark, tmp_path):
 
 def test_compensating_lengths_caught_by_spot_check(spark, tmp_path):
     """63+65 balances the footer element total — the one violation footer
-    stats cannot exclude. The LIMIT spot check catches it up front when it
-    is visible in the head (and downstream zip_with scoring NULLs loudly
-    under the oracle gate otherwise)."""
+    stats cannot exclude when it sits inside a single row group. The
+    spread spot check catches it up front (and downstream zip_with
+    scoring NULLs loudly under the oracle gate otherwise)."""
     p = str(tmp_path)
     (
         spark.range(10)
@@ -127,3 +128,75 @@ def test_compensating_lengths_caught_by_spot_check(spark, tmp_path):
     assert proven  # 63 + 65 == 2*DIM: invisible to the footer
     with pytest.raises(ValueError, match="compensating length"):
         sim._emb(spark, p)
+
+def _pa_corpus(path: str, files: dict[str, list[int]]):
+    """Write an embeddings.parquet DIRECTORY with one parquet file per
+    entry; each value is a list of per-row embedding lengths."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"{path}/embeddings.parquet"
+    os.makedirs(d, exist_ok=True)
+    next_id = 0
+    for fname, lengths in files.items():
+        ids, vecs = [], []
+        for ln in lengths:
+            ids.append(next_id)
+            vecs.append([float(i % 97) for i in range(ln)])
+            next_id += 1
+        t = pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+        )
+        pq.write_table(t, os.path.join(d, fname))
+
+
+def test_compensating_lengths_past_first_file_caught(spark, tmp_path):
+    """ADVICE r10 (medium): e.limit() read only the first partition, so a
+    corpus whose compensating errors sit in a LATER file passed the fast
+    path. The spread sampler always includes the last row group."""
+    p = str(tmp_path)
+    d = sim.DIM
+    _pa_corpus(p, {
+        "a.parquet": [d] * 100,
+        "b.parquet": [d] * 100,
+        "c.parquet": [d - 1, d + 1] + [d] * 98,  # balanced within its rg
+    })
+    n, proven = sim._emb_footer_evidence(p)
+    assert proven  # 63 + 65 == 2*DIM inside one row group: footer-invisible
+    with pytest.raises(ValueError, match="compensating length"):
+        sim._emb(spark, p)
+
+
+def test_per_row_group_imbalance_defeats_footer_proof(spark, tmp_path):
+    """A 63-length row in one row group compensated by a 65-length row in
+    ANOTHER is now footer-visible: element counts must balance per row
+    group, not just per corpus (ADVICE r10)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path)
+    d = sim.DIM
+    lengths = [d] * 50 + [d - 1] + [d] * 49 + [d] * 50 + [d + 1] + [d] * 49
+    vecs = [[float(i % 97) for i in range(ln)] for ln in lengths]
+    t = pa.table(
+        {"vec_id": pa.array(range(len(lengths)), pa.int64()),
+         "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+    )
+    pq.write_table(t, f"{p}/embeddings.parquet", row_group_size=100)
+    n, proven = sim._emb_footer_evidence(p)
+    assert not proven  # each row group is off by one element
+    with pytest.raises(ValueError, match="not exactly DIM"):
+        sim._emb(spark, p)
+
+
+def test_spot_check_spreads_across_files(tmp_path):
+    p = str(tmp_path)
+    _pa_corpus(p, {f"f{i}.parquet": [sim.DIM] * 40 for i in range(12)})
+    checked, bad = sim._spot_check_dims(p)
+    assert bad == 0
+    # 12 row groups, sampler takes _EMB_SPOT_ROW_GROUPS spread ones
+    # including first and last; each contributes up to budget/k rows
+    assert checked >= sim._EMB_SPOT_ROW_GROUPS * 40 / 2

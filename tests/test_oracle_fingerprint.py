@@ -209,3 +209,23 @@ def test_fingerprint_grid_null_floats_canonicalize(duck):
     assert a[0] == b[0] == 1
     assert a[1] != b[1]  # NULL and 500000 canonicalize differently
     assert a[3] is None  # margin ignores NULL rows entirely
+
+def test_fingerprint_grid_off_lattice_counts(spark, duck):
+    """ADVICE r10: a tiny margin earns the deterministic annotation only
+    when the scaled value is integral within ulps (exact-lattice). A
+    value 1e-12 past a boundary — far above ulp noise, inside the 1e-9
+    slack — must count as OFF-lattice in both engines so the caller
+    refuses instead of annotating a coincidence."""
+    on = 0.0000005                   # y = v*1e6 + 0.5 = 1.0 exactly
+    off = (1.0 + 1e-10 - 0.5) / 1e6  # y = 1.0 + ~1e-10: in-slack, off-grid
+    s_on = _fingerprint_spark(
+        spark.createDataFrame([(on,)], "v double"), dp=6)
+    s_off = _fingerprint_spark(
+        spark.createDataFrame([(off,)], "v double"), dp=6)
+    assert s_on[4] == 0 and s_on[3] < 1e-9
+    assert s_off[4] == 1 and s_off[3] < 1e-9
+    d_on = _fingerprint_duck(
+        duck, f"SELECT {on!r}::DOUBLE AS v", ["v"], grid_cols=["v"], dp=6)
+    d_off = _fingerprint_duck(
+        duck, f"SELECT {off!r}::DOUBLE AS v", ["v"], grid_cols=["v"], dp=6)
+    assert d_on[4] == 0 and d_off[4] == 1
