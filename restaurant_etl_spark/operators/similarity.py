@@ -974,13 +974,18 @@ def _ivf_sqrtn_build(spark: SparkSession, sf_dir: str):
 def _argmax_cell(a_r: DataFrame) -> DataFrame:
     """(vec_id, v, c_cell, cos) → each vector's best cell, deterministic
     ties like ORDER BY cos DESC, c_cell ASC. r10 (cold-ledger finding):
-    the row_number() window forced a full SORT shuffle of the n×√n
-    assignment product per pass (89.4M rows at sf10, three passes =
-    most of the 260 s one-time IVF build). A hash aggregate computing
-    max(struct(cos, −c_cell, payload)) is the same argmax — struct
-    comparison is lexicographic, (cos, −c_cell) is unique per group so
-    the payload never breaks a tie — but partial aggregation collapses
-    each map partition to ≤n rows before the exchange."""
+    the row_number() window pushed the FULL n×√n assignment product
+    through the vec_id exchange per pass (89.4M rows at sf10, three
+    passes = most of the 260 s one-time IVF build). An aggregate
+    computing max(struct(cos, −c_cell, payload)) is the same argmax —
+    struct comparison is lexicographic, (cos, −c_cell) is unique per
+    group so the payload never breaks a tie — and PARTIAL aggregation
+    collapses each map partition to ≤n rows before the exchange.
+    Physically Spark plans it as a partial SortAggregate (struct-typed
+    buffers are not hash-mutable, so HashAggregateExec refuses): the
+    residual sort is per-partition and pre-shuffle, the structural win
+    is the partial collapse — pinned by tests/test_plans.py::
+    test_ivf_assignment_pass_partial_aggregates_before_exchange."""
     best = a_r.groupBy("vec_id").agg(
         F.max(
             F.struct(
@@ -1006,8 +1011,9 @@ def _ivf_build_from(e: DataFrame):
     design (√n centroids × n vectors per pass), but the constant was
     ~8× bloated at sf10 — per-PAIR norm recomputation (the r8 topk
     hoist, now applied here: ‖v‖ once per vector, ‖c‖ once per
-    centroid) and a sort-based row_number window over the n×√n product
-    (now a hash-agg argmax, see :func:`_argmax_cell`). Same expressions,
+    centroid) and a row_number window shuffling the whole n×√n product
+    (now a partial-aggregating argmax, see :func:`_argmax_cell`). Same
+    expressions,
     same rounded values, same assignments — index artifacts and every
     IVF query hash verified unchanged."""
     m = e.agg(F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("m"))

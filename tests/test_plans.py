@@ -288,3 +288,52 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_assignment_pass_partial_aggregates_before_exchange(spark, sf_dir):
+    """VERDICT r10 #5: pin the IVF build's argmax shape. The pre-r10
+    row_number() window forced the FULL n×√n assignment product through
+    an Exchange (hashpartitioning on vec_id of 89.4M rows at sf10, most
+    of the 260 s one-time build) before any reduction. The r10 rewrite
+    aggregates max(struct(cos, -cell, payload)) — Spark plans it as a
+    partial SORTAggregate (struct-typed buffers are not hash-mutable, so
+    HashAggregateExec refuses; the sort is per-partition, pre-shuffle),
+    and the structural property that matters is that the PARTIAL
+    aggregate collapses each map partition to ≤n rows BEFORE the
+    exchange. A regression back to the window form would show up as a
+    Window node and an exchange with no partial agg beneath it."""
+    from pyspark.sql import functions as F
+
+    from restaurant_etl_spark.operators import similarity as sim
+
+    e = sim._emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    ev = e.select("vec_id", "v", sim._norm(sim._dvec("v")).alias("nv"))
+    cent = (
+        e.limit(5)
+        .select(F.col("vec_id").alias("c_cell"), sim._dvec("v").alias("cv"))
+        .localCheckpoint()
+        .select("c_cell", "cv", sim._norm("cv").alias("ncv"))
+    )
+    a_r = ev.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "c_cell",
+        F.round(
+            sim._dot(sim._dvec("v"), F.col("cv"))
+            / (F.col("nv") * F.col("ncv")), 4
+        ).alias("cos"),
+    )
+    plan = (
+        sim._argmax_cell(a_r)._jdf.queryExecution().executedPlan().toString()
+    )
+    # no window; a partial aggregate exists and sits BELOW (deeper than,
+    # printed after) the vec_id exchange, so only <=n pre-aggregated rows
+    # cross the shuffle — never the n×√n product
+    assert "Window" not in plan, plan
+    assert "partial_max(struct(cos" in plan, plan
+    assert "Exchange hashpartitioning(vec_id" in plan, plan
+    assert plan.index("partial_max") > plan.index(
+        "Exchange hashpartitioning(vec_id"
+    ), plan
+    # and the product never range-shuffles (no global sort)
+    assert "rangepartitioning" not in plan, plan
