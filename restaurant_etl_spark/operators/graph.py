@@ -152,24 +152,31 @@ def _scaled_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~60M rows at sf10) instead of a join over the materialized edge
     table (O(Σ sz²) ≈ 200M+ rows at sf10, the old localCheckpoint).
     The loop invariant that gets materialized once is now item-sized."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items0 = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    sz = items0.groupBy("ok").agg(F.count("*").alias("sz"))
-    # orders with one distinct part have no co-purchase edges: dropping
-    # them up front keeps the node set (and teleport denominator n)
-    # identical to the edge formulation. This is the loop invariant every
-    # iteration scans twice — materialize it exactly once.
-    items = (
-        items0.join(sz, "ok").filter(F.col("sz") >= 2).localCheckpoint()
-    )
+    from restaurant_etl_spark.operators.staging import staged
+
+    def _build_items() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        items0 = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        sz = items0.groupBy("ok").agg(F.count("*").alias("sz"))
+        # orders with one distinct part have no co-purchase edges:
+        # dropping them up front keeps the node set (and teleport
+        # denominator n) identical to the edge formulation.
+        return items0.join(sz, "ok").filter(F.col("sz") >= 2)
+
+    # the loop invariant every iteration scans twice — materialized once
+    # per CORPUS per process (staged, VERDICT r10 #7: the registered
+    # query and the FP-margin guard each re-staged ~28 s of identical
+    # construction at sf10)
+    items = staged(spark, sf_dir, "lineitem", "pagerank_items", _build_items)
     # node table: out-degree outw(p) = Σ_{o∋p}(sz−1), an exact integer in
     # doubles — identical to the old Σ_dst w
-    deg = (
-        items.groupBy("pk")
-        .agg(F.sum(F.col("sz") - 1).cast("double").alias("outw"))
-        .localCheckpoint()
+    deg = staged(
+        spark, sf_dir, "lineitem", "pagerank_deg",
+        lambda: items.groupBy("pk").agg(
+            F.sum(F.col("sz") - 1).cast("double").alias("outw")
+        ),
     )
     nn = deg.agg(F.count("*").cast("double").alias("n"))
 

@@ -1,68 +1,76 @@
-"""Atomic fingerprint-keyed staging (sources/staging.py)."""
+"""The staged-artifact cache (VERDICT r10 #7): identical eager staging
+(shingle arrays, common counts, pagerank invariants) is materialized once
+per corpus per process and reused across sibling queries — keyed on the
+table's file fingerprint so a rewritten corpus rebuilds instead of being
+served stale."""
 
 from __future__ import annotations
 
-import os
+import pytest
+from pyspark.sql import functions as F
 
-from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
+from restaurant_etl_spark.operators import staging
+from restaurant_etl_spark.operators.dedup import _staged_common, _staged_sa
 
 
-def test_stage_once_builds_once(tmp_path, monkeypatch):
-    monkeypatch.setenv("TMPDIR", str(tmp_path))
-    import tempfile
+@pytest.fixture(autouse=True)
+def _clean_cache():
+    staging.clear_staged()
+    yield
+    staging.clear_staged()
 
-    tempfile.tempdir = None  # force re-read of TMPDIR
+
+def test_staged_builds_once_and_reuses(spark, sf_dir):
     calls = []
 
-    def build(d):
-        calls.append(d)
-        open(os.path.join(d, "payload.txt"), "w").write("x")
+    def build():
+        calls.append(1)
+        return spark.range(5)
 
-    p1 = stage_once("t_once", "fp1", build)
-    p2 = stage_once("t_once", "fp1", build)
-    assert p1 == p2 and len(calls) == 1
-    assert os.path.exists(os.path.join(p1, "payload.txt"))
-    assert os.path.exists(os.path.join(p1, "_STAGED_OK"))
-    tempfile.tempdir = None
+    a = staging.staged(spark, sf_dir, "documents", "t", build)
+    b = staging.staged(spark, sf_dir, "documents", "t", build)
+    assert a is b and len(calls) == 1
+    # a different label is a different artifact
+    staging.staged(spark, sf_dir, "documents", "t2", build)
+    assert len(calls) == 2
 
 
-def test_fingerprint_change_restages(tmp_path, monkeypatch):
-    monkeypatch.setenv("TMPDIR", str(tmp_path))
-    import tempfile
-
-    tempfile.tempdir = None
+def test_staged_rekeys_on_table_rewrite(spark, tmp_path):
+    p = str(tmp_path)
+    spark.range(3).write.mode("overwrite").parquet(f"{p}/documents.parquet")
     calls = []
-    build = lambda d: (calls.append(d), open(os.path.join(d, "f"), "w").close())
-    a = stage_once("t_fp", "aaa", build)
-    b = stage_once("t_fp", "bbb", build)
-    assert a != b and len(calls) == 2
-    tempfile.tempdir = None
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(f"{p}/documents.parquet")
+
+    assert staging.staged(spark, p, "documents", "t", build).count() == 3
+    spark.range(7).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    assert staging.staged(spark, p, "documents", "t", build).count() == 7
+    assert len(calls) == 2
 
 
-def test_partial_stale_dir_is_replaced(tmp_path, monkeypatch):
-    """A legacy/crashed stage (dir exists, no marker) must be replaced, not
-    trusted."""
-    monkeypatch.setenv("TMPDIR", str(tmp_path))
-    import tempfile
+def test_staged_sa_and_common_shared_across_queries(spark, sf_dir):
+    sa1 = _staged_sa(spark, sf_dir)
+    sa2 = _staged_sa(spark, sf_dir)
+    assert sa1 is sa2
+    c1 = _staged_common(spark, sf_dir, sa1)
+    c2 = _staged_common(spark, sf_dir, sa2)
+    assert c1 is c2
+    assert set(c1.columns) == {"doc_a", "doc_b", "n_common"}
 
-    tempfile.tempdir = None
-    stale = tmp_path / "t_stale_fpX"
-    stale.mkdir()
-    (stale / "halfwritten").touch()
 
-    out = stage_once(
-        "t_stale", "fpX", lambda d: open(os.path.join(d, "good"), "w").close()
+def test_staged_values_match_unstaged_build(spark, sf_dir):
+    """The cache must be value-invisible: the staged shingle arrays equal
+    a fresh unstaged build row-for-row."""
+    from restaurant_etl_spark.operators.dedup import _docs, shingle_arrays
+
+    fresh = shingle_arrays(_docs(spark, sf_dir))
+    cached = _staged_sa(spark, sf_dir)
+    assert cached.count() == fresh.count()
+    assert (
+        cached.select("doc_id", F.explode("sharr").alias("s"))
+        .exceptAll(fresh.select("doc_id", F.explode("sharr").alias("s")))
+        .count()
+        == 0
     )
-    assert os.path.exists(os.path.join(out, "good"))
-    assert os.path.exists(os.path.join(out, "_STAGED_OK"))
-    assert not os.path.exists(os.path.join(out, "halfwritten"))
-    tempfile.tempdir = None
-
-
-def test_source_fingerprint_tracks_mtime_and_size(tmp_path):
-    f = tmp_path / "src.parquet"
-    f.write_bytes(b"abc")
-    fp1 = source_fingerprint(str(f))
-    assert fp1 == source_fingerprint(str(f))  # stable
-    f.write_bytes(b"abcd")
-    assert source_fingerprint(str(f)) != fp1
