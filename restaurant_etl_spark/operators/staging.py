@@ -28,6 +28,15 @@ Memory: entries are localCheckpoint blocks (MEMORY_AND_DISK) that the
 pre-cache code created and dropped per call; keeping the handful of
 per-corpus artifacts alive for the process bounds total footprint by
 #corpora × #labels, a few GB at sf10 against the 48g big-SF driver.
+
+Eviction (VERDICT r11 #2): a table rewrite changes the fingerprint, so
+the old entry for the same (table, label) becomes unreachable — its
+checkpoint blocks are explicitly unpersisted the moment the superseding
+entry is built (``_release``), instead of staying pinned until JVM exit.
+Entries keyed to a stopped SparkContext are dropped on every ``staged``
+call (their blocks died with the context), so a long-lived process
+cycling sessions or corpora holds at most the live context's live
+fingerprints.
 """
 
 from __future__ import annotations
@@ -39,6 +48,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _STAGED: dict[tuple, DataFrame] = {}
+
+# regression guard (VERDICT r11 #6): builds per (table, label) this
+# process — a refactor that quietly stops sharing the staged artifact
+# shows up here as a count > 1 per corpus, long before the sf10 cold
+# ledger would catch it
+_BUILD_COUNTS: dict[tuple[str, str], int] = {}
 
 
 def _table_files(sf_dir: str, table: str) -> list[str]:
@@ -63,6 +78,19 @@ def table_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _release(df: DataFrame) -> None:
+    """Best-effort explicit unpersist of a staged frame's checkpoint
+    blocks. ``localCheckpoint`` persists the physical RDD and returns a
+    frame whose analyzed plan is a LogicalRDD over exactly that RDD, so
+    unpersist it directly; if the internal shape ever moves, fall back to
+    dropping the reference (Spark's ContextCleaner then releases the
+    blocks on GC — correct, just later)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def staged(
     spark: SparkSession,
     sf_dir: str,
@@ -72,21 +100,37 @@ def staged(
 ) -> DataFrame:
     """Return the staged artifact ``label`` for ``table`` at ``sf_dir``,
     building + eagerly localCheckpointing it on first use in this
-    process/context and reusing the checkpointed frame afterwards."""
-    key = (
-        spark.sparkContext.applicationId,
-        table,
-        table_fingerprint(sf_dir, table),
-        label,
-    )
+    process/context and reusing the checkpointed frame afterwards.
+
+    Superseded entries (same table+label, older fingerprint) and entries
+    owned by stopped contexts are evicted here, so the cache holds at
+    most one live frame per (corpus, label)."""
+    app_id = spark.sparkContext.applicationId
+    # entries from a stopped context: blocks died with the JVM-side
+    # context; drop the dead references so the dict stays bounded
+    for k in [k for k in _STAGED if k[0] != app_id]:
+        del _STAGED[k]
+    fp = table_fingerprint(sf_dir, table)
+    key = (app_id, table, fp, label)
     df = _STAGED.get(key)
     if df is None:
+        # unpersist-on-supersede: a rewritten corpus under the same path
+        # changed the fingerprint — release the old frame's checkpoint
+        # blocks now instead of pinning them until JVM exit
+        for k in [
+            k
+            for k in _STAGED
+            if k[0] == app_id and k[1] == table and k[3] == label and k[2] != fp
+        ]:
+            _release(_STAGED.pop(k))
         df = build().localCheckpoint()
         _STAGED[key] = df
+        _BUILD_COUNTS[(table, label)] = _BUILD_COUNTS.get((table, label), 0) + 1
     return df
 
 
 def clear_staged() -> None:
-    """Drop every cache entry (tests; the checkpoint blocks themselves
-    are released by the JVM once unreferenced)."""
-    _STAGED.clear()
+    """Drop every cache entry, explicitly unpersisting each frame's
+    checkpoint blocks (tests and long-lived sessions)."""
+    while _STAGED:
+        _release(_STAGED.popitem()[1])

@@ -270,6 +270,11 @@ def _delta_vs_prev(workloads: dict, prev_path: str) -> dict | None:
             "throughput_ratio": round(n_rps / p_rps, 3) if n_rps and p_rps else None,
             "prev_median_batch_ms": p_med,
             "median_batch_ms": n_med,
+            # whether the PRIOR artifact carried its own fresh-JVM
+            # envelope — pre-r11 warm-JVM single-run artifacts don't, and
+            # out-of-envelope deltas against them are a methodology
+            # change, not confirmed drift (ADVICE r11)
+            "prev_fresh_jvm": bool(p.get("envelope")),
         }
     return out or None
 
@@ -334,14 +339,23 @@ def _envelope(workload: str, sf_dir: str, n: int) -> dict:
         runs, key=lambda m: (m["steady"]["rows_per_sec"] or 0)
     )
     rep = keyed[len(keyed) // 2]
+    # ADVICE r11: drop None readings instead of coercing to 0 — one
+    # failed/empty repetition would otherwise drive the envelope's lower
+    # bound to 0 and _classify_vs_prev could never emit confirmed_faster
+    pooled = sorted(
+        r["pooled"]["rows_per_sec"]
+        for r in runs
+        if r["pooled"]["rows_per_sec"] is not None
+    )
     rep["envelope"] = {
         "n_runs": n,
+        "complete": len(pooled) == n,
         "steady_rows_per_sec": [r["steady"]["rows_per_sec"] for r in keyed],
-        "pooled_rows_per_sec": sorted(
-            (r["pooled"]["rows_per_sec"] or 0) for r in runs
-        ),
+        "pooled_rows_per_sec": pooled,
         "steady_median_batch_ms": sorted(
-            (r["steady"]["batch_ms"]["median"] or 0) for r in runs
+            r["steady"]["batch_ms"]["median"]
+            for r in runs
+            if r["steady"]["batch_ms"]["median"] is not None
         ),
     }
     return rep
@@ -358,12 +372,23 @@ def _classify_vs_prev(vs_prev: dict | None, workloads: dict) -> None:
     for wl, delta in vs_prev.items():
         env = (workloads.get(wl) or {}).get("envelope")
         p_rps = delta.get("prev_rows_per_sec")
-        if not env or p_rps is None:
+        if not env or p_rps is None or not env.get("pooled_rows_per_sec"):
+            delta["classification"] = "no_envelope"
+            continue
+        if not env.get("complete", True):
+            # ADVICE r11: a repetition lacked a pooled throughput — the
+            # envelope is partial, so don't confirm anything from it
             delta["classification"] = "no_envelope"
             continue
         lo, hi = env["pooled_rows_per_sec"][0], env["pooled_rows_per_sec"][-1]
         if lo <= p_rps <= hi:
             delta["classification"] = "run_variance"
+        elif not delta.get("prev_fresh_jvm", True):
+            # ADVICE r11: the prior artifact is a warm-JVM single-run
+            # reading (no envelope of its own) — an out-of-envelope delta
+            # on that transition conflates the fresh-JVM methodology
+            # change with true drift, so don't call it confirmed
+            delta["classification"] = "methodology_change"
         else:
             delta["classification"] = (
                 "confirmed_faster" if p_rps < lo else "confirmed_slower"

@@ -126,3 +126,72 @@ def test_two_part_counts_equal_bruteforce_on_random_corpora(spark):
                 if any(df[s_] <= 3 for s_ in common):
                     expect[(a, b)] = len(common)
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_oracle_fragment_partition_exhaustive_and_disjoint_at_cap_boundary(
+    monkeypatch,
+):
+    """VERDICT r11 #7: _capped_com_sql's c = c_rare + c_hot partition must
+    be exhaustive and disjoint — checked on a shingle table engineered
+    with common shingles at df == cap (boundary, must count once in
+    c_rare), df == cap+1 (must count once in c_hot), and pairs related
+    ONLY through hot shingles (must emit nothing). The fragment is run in
+    DuckDB exactly as the registered oracles consume it, and compared to
+    a Python brute force over the same rows — for both materialized
+    flavors."""
+    import duckdb
+
+    from restaurant_etl_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_SHINGLE_DF", 3)
+    cap = 3
+    # (doc_id, shingle): df(s_rare)=2, df(s_cap)=3 == cap (boundary),
+    # df(s_hot)=4 == cap+1, df(s_hot2)=5; docs 5,6 share ONLY hot shingles
+    rows = (
+        [(d, "s_rare") for d in (1, 2)]
+        + [(d, "s_cap") for d in (1, 2, 3)]
+        + [(d, "s_hot") for d in (1, 2, 3, 4)]
+        + [(d, "s_hot2") for d in (1, 2, 5, 6, 7)]
+        + [(d, f"only{d}") for d in range(1, 8)]
+    )
+
+    # brute force: candidates share >= 1 BELOW-OR-AT-cap shingle;
+    # c = |common| over ALL shingles (rare + hot)
+    sets: dict[int, set] = {}
+    for d, s in rows:
+        sets.setdefault(d, set()).add(s)
+    df_of: dict[str, int] = {}
+    for ss in sets.values():
+        for s in ss:
+            df_of[s] = df_of.get(s, 0) + 1
+    assert df_of["s_cap"] == cap and df_of["s_hot"] == cap + 1  # the boundary
+    expect = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            common = sets[a] & sets[b]
+            if any(df_of[s] <= cap for s in common):
+                expect[(a, b)] = len(common)
+    # the engineered corpus exercises every class: a candidate pair with
+    # both rare and hot commons (1,2), a boundary-only pair (via s_cap),
+    # and hot-only pairs that must be absent
+    assert (5, 6) not in expect and sets[5] & sets[6]  # hot-only, excluded
+    assert expect[(1, 2)] == len(sets[1] & sets[2])
+
+    for materialized in (False, True):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE sh_tab (doc_id BIGINT, shingle VARCHAR)"
+        )
+        con.executemany("INSERT INTO sh_tab VALUES (?, ?)", rows)
+        frag = dedup._capped_com_sql(materialized=materialized)
+        got = {
+            (a, b): c
+            for a, b, c in con.execute(
+                f"WITH sh AS (SELECT * FROM sh_tab), {frag} "
+                "SELECT doc_a, doc_b, c FROM com ORDER BY 1, 2"
+            ).fetchall()
+        }
+        con.close()
+        assert got == expect, f"materialized={materialized}: {got} != {expect}"

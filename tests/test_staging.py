@@ -48,6 +48,52 @@ def test_staged_rekeys_on_table_rewrite(spark, tmp_path):
     spark.range(7).write.mode("overwrite").parquet(f"{p}/documents.parquet")
     assert staging.staged(spark, p, "documents", "t", build).count() == 7
     assert len(calls) == 2
+    # unpersist-on-supersede (VERDICT r11 #2): the rewrite must EVICT the
+    # stale entry, not leave it unreachable-but-alive — exactly one entry
+    # remains for (documents, t) and it is the new fingerprint's
+    left = [k for k in staging._STAGED if k[1] == "documents" and k[3] == "t"]
+    assert len(left) == 1
+    assert left[0][2] == staging.table_fingerprint(p, "documents")
+
+
+def _persisted_rdd_ids(spark):
+    return {info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+
+def test_supersede_releases_checkpoint_blocks(spark, tmp_path):
+    """A table rewrite must explicitly unpersist the superseded frame's
+    localCheckpoint blocks (not wait for JVM exit)."""
+    p = str(tmp_path)
+    spark.range(3).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    build = lambda: spark.read.parquet(f"{p}/documents.parquet")
+
+    before = _persisted_rdd_ids(spark)
+    staging.staged(spark, p, "documents", "blk", build).count()
+    first_blocks = _persisted_rdd_ids(spark) - before
+    assert first_blocks, "localCheckpoint should persist at least one RDD"
+
+    spark.range(5).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    assert staging.staged(spark, p, "documents", "blk", build).count() == 5
+    after = _persisted_rdd_ids(spark)
+    assert not (first_blocks & after), "superseded checkpoint blocks still pinned"
+
+
+def test_clear_staged_releases_blocks(spark, sf_dir):
+    before = _persisted_rdd_ids(spark)
+    staging.staged(spark, sf_dir, "region", "clr", lambda: spark.range(4)).count()
+    mine = _persisted_rdd_ids(spark) - before
+    assert mine
+    staging.clear_staged()
+    assert not (mine & _persisted_rdd_ids(spark))
+
+
+def test_dead_context_entries_evicted(spark, sf_dir):
+    """Entries keyed to a stopped SparkContext are dropped on the next
+    staged() call (ADVICE r11: bound long-lived multi-session processes)."""
+    fp = staging.table_fingerprint(sf_dir, "region")
+    staging._STAGED[("app-dead-ctx", "region", fp, "x")] = spark.range(1)
+    staging.staged(spark, sf_dir, "region", "y", lambda: spark.range(2))
+    assert ("app-dead-ctx", "region", fp, "x") not in staging._STAGED
 
 
 def test_staged_sa_and_common_shared_across_queries(spark, sf_dir):
@@ -74,3 +120,28 @@ def test_staged_values_match_unstaged_build(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_staged_reuse_guard_one_build_per_label(spark, sf_dir):
+    """Regression guard (VERDICT r11 #6): the four queries whose sf10
+    cold-ledger cells the staging cache fixed must KEEP sharing the
+    staged artifacts — running each twice may build each (table, label)
+    artifact at most once per corpus per process. A refactor that quietly
+    stops calling staged() re-inflates the sf10 cold path while every
+    hash stays green; this catches it at sf0.001."""
+    from restaurant_etl_spark.operators.registry import load_all
+
+    reg = load_all()
+    staging.clear_staged()
+    staging._BUILD_COUNTS.clear()
+    for name in (
+        "dedup_containment",
+        "dedup_source_overlap_matrix",
+        "dedup_incremental_batch",
+        "graph_pagerank_parts",
+    ):
+        for _ in range(2):
+            reg[name].fn(spark, sf_dir).count()
+    assert staging._BUILD_COUNTS, "staged() was never called — cache bypassed"
+    over = {k: v for k, v in staging._BUILD_COUNTS.items() if v > 1}
+    assert not over, f"staged artifacts rebuilt per call: {over}"

@@ -49,3 +49,78 @@ def test_missing_envelope_is_labeled():
 
 def test_none_vs_prev_is_noop():
     _classify_vs_prev(None, {})  # must not raise
+
+
+def test_incomplete_envelope_never_confirms():
+    """ADVICE r11: a repetition with a missing pooled throughput makes the
+    envelope partial — classify no_envelope, never confirmed_*."""
+    vs = {"cdc": {"prev_rows_per_sec": 800.0}}
+    _classify_vs_prev(
+        vs,
+        {"cdc": {"envelope": {
+            "pooled_rows_per_sec": [900.0, 1100.0], "n_runs": 3,
+            "complete": False,
+        }}},
+    )
+    assert vs["cdc"]["classification"] == "no_envelope"
+
+
+def test_empty_envelope_is_no_envelope():
+    vs = {"cdc": {"prev_rows_per_sec": 800.0}}
+    _classify_vs_prev(
+        vs, {"cdc": {"envelope": {"pooled_rows_per_sec": [], "complete": False}}}
+    )
+    assert vs["cdc"]["classification"] == "no_envelope"
+
+
+def test_warm_jvm_prev_outside_envelope_is_methodology_change():
+    """ADVICE r11: an out-of-envelope delta against a pre-envelope
+    (warm-JVM single-run) artifact conflates the methodology change with
+    true drift — tag it, don't confirm it."""
+    vs = {"cdc": {"prev_rows_per_sec": 1200.0, "prev_fresh_jvm": False}}
+    _classify_vs_prev(
+        vs,
+        {"cdc": {"envelope": {
+            "pooled_rows_per_sec": [900.0, 1000.0, 1100.0],
+            "n_runs": 3, "complete": True,
+        }}},
+    )
+    assert vs["cdc"]["classification"] == "methodology_change"
+
+
+def test_warm_jvm_prev_inside_envelope_is_still_run_variance():
+    vs = {"cdc": {"prev_rows_per_sec": 1000.0, "prev_fresh_jvm": False}}
+    _classify_vs_prev(
+        vs,
+        {"cdc": {"envelope": {
+            "pooled_rows_per_sec": [900.0, 1100.0], "n_runs": 2,
+            "complete": True,
+        }}},
+    )
+    assert vs["cdc"]["classification"] == "run_variance"
+
+
+def test_envelope_drops_none_readings():
+    """_envelope must drop None pooled readings rather than coerce to 0
+    (the lower bound would otherwise pin at 0 forever)."""
+    import bench_streaming as bs
+
+    runs = [
+        {"steady": {"rows_per_sec": 10.0, "batch_ms": {"median": 5.0}},
+         "pooled": {"rows_per_sec": 11.0}},
+        {"steady": {"rows_per_sec": None, "batch_ms": {"median": None}},
+         "pooled": {"rows_per_sec": None}},
+        {"steady": {"rows_per_sec": 12.0, "batch_ms": {"median": 6.0}},
+         "pooled": {"rows_per_sec": 13.0}},
+    ]
+    calls = iter(runs)
+    orig = bs._run_point
+    bs._run_point = lambda *a, **k: next(calls)
+    try:
+        rep = bs._envelope("session", "/tmp", 3)
+    finally:
+        bs._run_point = orig
+    env = rep["envelope"]
+    assert env["pooled_rows_per_sec"] == [11.0, 13.0]
+    assert env["steady_median_batch_ms"] == [5.0, 6.0]
+    assert env["complete"] is False
