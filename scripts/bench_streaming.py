@@ -298,9 +298,14 @@ def _run_one(workload: str, sf_dir: str, tag: str) -> int:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
     if workload == "session":
         m = bench_session_windows(spark, sf_dir, tag=tag)
-    elif workload == "session_big":
+    elif workload.startswith("session_big"):
+        # session_big -> 160 files (x10 decade); session_big:N -> N files
+        # (x100 decade uses 1600: scale the FILE count with the data so
+        # rows-per-batch stay equal and latency growth isolates state
+        # size — VERDICT r11 #4)
+        n_files = int(workload.split(":", 1)[1]) if ":" in workload else 160
         m = bench_session_windows(
-            spark, sf_dir, n_files=160, files_per_trigger=2, tag=tag
+            spark, sf_dir, n_files=n_files, files_per_trigger=2, tag=tag
         )
     elif workload == "cdc":
         m = bench_cdc_sink(spark, sf_dir, tag=tag)
@@ -428,8 +433,10 @@ def main() -> int:
     }
     state_decade = None
     if decade_big:
-        big_session = _run_point("session_big", decade_big, "_big")
-        big_cdc = _run_point("cdc", decade_big, "_cdc_big")
+        # comma-separated dirs = successive x10 decades vs the small
+        # point (x10, x100, ...); the session file count scales with the
+        # data so rows-per-batch stay equal at every decade
+        decade_dirs = [d for d in decade_big.split(",") if d]
         small_session, small_cdc = (
             workloads["session_windows_rocksdb"], workloads["cdc_sink_rocksdb"]
         )
@@ -454,16 +461,32 @@ def main() -> int:
                 },
             }
 
-        state_decade = {
-            "big_dir": decade_big,
-            "session_windows": _pair(
-                small_session, big_session,
-                "equal rows-per-batch (160 files @ 2/trigger), 10x batches, "
-                "10x key cardinality -> latency ratio isolates state size"),
-            "cdc_sink": _pair(
-                small_cdc, big_cdc,
-                "same 10-batch shape on 10x rows and 10x merge keys"),
-        }
+        state_decade = {}
+        for i, d in enumerate(decade_dirs):
+            scale = 10 ** (i + 1)
+            n_files = 16 * scale
+            big_session = _run_point(
+                f"session_big:{n_files}", d, f"_big_x{scale}"
+            )
+            big_cdc = _run_point("cdc", d, f"_cdc_big_x{scale}")
+            point = {
+                "big_dir": d,
+                "session_windows": _pair(
+                    small_session, big_session,
+                    f"equal rows-per-batch ({n_files} files @ 2/trigger), "
+                    f"{scale}x batches, {scale}x key cardinality -> "
+                    "latency ratio isolates state size"),
+                "cdc_sink": _pair(
+                    small_cdc, big_cdc,
+                    f"same 10-batch shape on {scale}x rows and {scale}x "
+                    "merge keys"),
+            }
+            if i == 0:
+                # keep the r11 artifact shape for the x10 point so
+                # round-over-round diffs stay mechanical
+                state_decade.update(point)
+            else:
+                state_decade[f"x{scale}"] = point
     vs_prev = _delta_vs_prev(workloads, prev)
     _classify_vs_prev(vs_prev, workloads)
     result = {

@@ -124,3 +124,31 @@ def test_envelope_drops_none_readings():
     assert env["pooled_rows_per_sec"] == [11.0, 13.0]
     assert env["steady_median_batch_ms"] == [5.0, 6.0]
     assert env["complete"] is False
+
+
+def test_session_big_file_count_parses_from_workload_name(monkeypatch, capsys):
+    """The x100 state decade passes session_big:1600 through the child
+    protocol — _run_one must hand that file count to the session
+    workload, defaulting to 160 for the bare x10 form."""
+    import bench_streaming as bs
+
+    seen = []
+
+    class _Conf:
+        def set(self, *a):
+            pass
+
+    class _Spark:
+        conf = _Conf()
+
+    monkeypatch.setattr(bs, "get_spark", lambda *a, **k: _Spark())
+    monkeypatch.setattr(
+        bs,
+        "bench_session_windows",
+        lambda spark, sf_dir, n_files=16, files_per_trigger=2, tag="": (
+            seen.append(n_files) or {}
+        ),
+    )
+    bs._run_one("session_big:1600", "/tmp/x", "_t")
+    bs._run_one("session_big", "/tmp/x", "_t")
+    assert seen == [1600, 160]
