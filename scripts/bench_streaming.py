@@ -296,6 +296,10 @@ def _run_one(workload: str, sf_dir: str, tag: str) -> int:
     marked line for the parent to parse."""
     spark = get_spark(f"bench_streaming_{workload}{tag}")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    # the x100 session point drains 800 micro-batches; Spark retains only
+    # the last 100 progress updates by default, silently truncating the
+    # totals (_progress_metrics sums recentProgress) — keep every trigger
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     if workload == "session":
         m = bench_session_windows(spark, sf_dir, tag=tag)
     elif workload.startswith("session_big"):
