@@ -331,6 +331,16 @@ def main() -> int:
                 failures.append((name, f"SPARK ERROR: {e}"))
                 print(f"FAIL  {name}: spark error: {str(e)[:300]}")
                 continue
+            # record the engine-side result BEFORE attempting the oracle:
+            # at scale points where DuckDB hits a resource wall (r10's
+            # n=10M ENOSPC), the Spark fingerprint is the artifact that
+            # lets a later/bigger-box oracle run close the loop
+            print(
+                f"info  {name}: spark fingerprint "
+                f"count={s_fp[0]} h1={s_fp[1]} h2={s_fp[2]}"
+                + (f" dp={dp}" if dp is not None else ""),
+                flush=True,
+            )
             try:
                 dcols = sorted(
                     r[0] for r in con.execute(
