@@ -33,7 +33,17 @@ def get_spark(
     set it to ~2-3x total executor cores (AQE coalesces the excess).
     """
     cpus = cpus or DEFAULT_CPUS
-    shuffle = shuffle_partitions or cpus
+    # SPARK_GRAFT_SHUFFLE (r12): at big scale points (n=100M vectors) the
+    # core-count default leaves ~3M rows per shuffle partition and the
+    # per-task execution-memory slice (driver_mem * 0.6 / cpus) can't hold
+    # a join's build side — raise partitions without touching callers.
+    # AQE coalesces the excess on small queries, so over-provisioning is
+    # safe.
+    shuffle = (
+        shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0"))
+        or cpus
+    )
     # mount the vendored protobuf bridge (no-op when a real protobuf is
     # installed) BEFORE the JVM starts: transformWithStateInPandas's state
     # protocol needs google.protobuf inside the forked Python WORKERS,
