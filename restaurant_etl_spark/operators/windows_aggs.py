@@ -163,21 +163,31 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_grouping_sets",
+    # money totals sum as DECIMAL(12,2), not double (r12): the () grand
+    # total reaches ~3.75e12 at sf10, where a double sum's accumulated FP
+    # error exceeds a cent — round(sum(double), 2) then depends on
+    # summation order (the regenerated-corpus hash moved while both
+    # engines stayed green, ORACLE_SF10_SPOT_r12.log). Decimal sums are
+    # exact, so the total is order-invariant at every scale.
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
     category="relational",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via the SQL API (first-class in Spark SQL)."""
+    """Explicit GROUPING SETS via the SQL API (first-class in Spark SQL).
+    The money total sums on the DECIMAL(12,2) grid so the grand-total
+    cents are exact and summation-order-invariant (see oracle note)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
