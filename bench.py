@@ -131,11 +131,87 @@ def _previous_round_queries(sf: float | None) -> dict[str, float]:
         return {}
 
 
+def _tag_baseline_rev() -> str | None:
+    """Resolve the previous round's commit: SPARK_GRAFT_TAG_BASELINE if it
+    names a rev, else the commit that last touched the newest committed
+    BENCH_r*.json (the round-artifact commit — this repo's 'tag')."""
+    env = os.environ.get("SPARK_GRAFT_TAG_BASELINE", "auto")
+    if env in ("off", "0", "none", ""):
+        return None
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if env != "auto":
+        rev = env
+    else:
+        cands = sorted(
+            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        )
+        if not cands:
+            return None
+        newest = max(cands, key=lambda f: int(re.findall(r"\d+", f)[0]))
+        rev = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", newest],
+            cwd=here, capture_output=True, text=True,
+        ).stdout.strip()
+    return rev or None
+
+
+def _run_tag_baseline(rev: str) -> dict:
+    """Same-boot whole-suite re-measurement at the previous round's commit
+    (VERDICT r12 #6): check out ``rev`` into a throwaway git worktree and
+    run ITS bench.py as a child process against the same corpus. Because
+    it runs in THIS session, any difference between the prior round's
+    committed artifact and this reading is environment (the box drifts
+    ~15% between boots — SCALING.md r11/r12 notes); any difference between
+    this reading and HEAD's reading is code. Returns the child's compact
+    metrics plus the rev, or an {"error": ...} record — never raises."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_tag_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, rev],
+            cwd=here, capture_output=True, text=True, check=True,
+        )
+        env = dict(os.environ)
+        env["SPARK_GRAFT_TAG_BASELINE"] = "off"  # no recursion
+        env.pop("SPARK_GRAFT_PREV_BENCH", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                doc = json.loads(line)
+                return {
+                    "rev": rev[:12],
+                    "steady_total": doc.get("value"),
+                    "cold_total": doc.get("cold_total"),
+                    "queries": doc.get("queries", {}),
+                }
+        return {"rev": rev[:12],
+                "error": f"no JSON line (rc={proc.returncode}): "
+                         f"{proc.stderr[-300:]}"}
+    except Exception as exc:  # noqa: BLE001 — baseline is advisory
+        return {"rev": rev[:12], "error": f"{type(exc).__name__}: {exc}"}
+    finally:
+        import shutil
+
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=here, capture_output=True, text=True)
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> int:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
 
     spark = get_spark("bench")
+    spark_version = spark.version
     specs = load_all()
 
     # warmup: touch the big tables once so JVM/codegen/file-listing costs
@@ -304,6 +380,37 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
+    # Tag-matched baseline (VERDICT r12 #6): if any query classified
+    # outside_envelope, re-measure the WHOLE suite at the previous round's
+    # commit in THIS boot, so drift classification lives in the artifact
+    # instead of a later manual session. The parent Spark session stops
+    # first: the child must measure on an uncontended box.
+    tag_baseline: dict | None = None
+    flagged = [n for n, e in envelopes.items()
+               if e["classification"] == "outside_envelope"]
+    if flagged:
+        rev = _tag_baseline_rev()
+        if rev:
+            spark.stop()
+            tag_baseline = _run_tag_baseline(rev)
+            tag_q = tag_baseline.get("queries", {})
+            for name in flagged:
+                tq = tag_q.get(name)
+                if tq is None or not tq:
+                    envelopes[name]["tag_classification"] = "no_tag_reading"
+                    continue
+                now = envelopes[name]["now"]
+                envelopes[name]["tag_now"] = tq
+                # same-boot code effect: HEAD vs tag on identical iron.
+                # Within the noise band → the code didn't move it, so the
+                # cross-round delta is the environment.
+                code_delta = abs(now - tq)
+                envelopes[name]["tag_classification"] = (
+                    "environment"
+                    if code_delta <= max(ENVELOPE_BAND, 0.15 * tq)
+                    else "code_change"
+                )
+
     total = round(sum(timings.values()), 3)
     # Full detail (per-query min/median/max envelopes + cold timings) goes to
     # STDERR: the driver's artifact keeps only the LAST ~2000 chars of stdout
@@ -312,7 +419,7 @@ def main() -> int:
     # committed logs still get everything via 2>.
     full = {
         "metric": "headline_total",
-        "spark_version": spark.version,
+        "spark_version": spark_version,
         "value": total,
         "unit": "sec",
         # steady re-executes the SAME resolved DataFrame (plan reuse, the
@@ -328,6 +435,7 @@ def main() -> int:
         "cold_ledger": cold_ledger,
         "calibration": calibration,
         "envelopes": envelopes,
+        "tag_baseline": tag_baseline,
         "errors": errors,
         "sf": sf,
     }
@@ -336,18 +444,30 @@ def main() -> int:
     # capture: headline metric + the full per-query steady-median map.
     compact = {
         "metric": "headline_total",
-        "spark_version": spark.version,
+        "spark_version": spark_version,
         "value": total,
         "unit": "sec",
         "mode": "steady_state_plan_reuse",
         "cold_total": full["cold_total"],
         "queries": timings,
         # out-of-band deltas vs the previous round, pre-classified (full
-        # numbers in the stderr artifact)
-        "envelopes": {k: v["classification"] for k, v in envelopes.items()},
+        # numbers in the stderr artifact); outside_envelope entries carry
+        # the same-boot tag verdict when the tag baseline ran
+        "envelopes": {
+            k: (f"{v['classification']}:{v['tag_classification']}"
+                if "tag_classification" in v else v["classification"])
+            for k, v in envelopes.items()
+        },
         "errors": {k: v[:80] for k, v in errors.items()},
         "sf": sf,
     }
+    if tag_baseline is not None:
+        compact["tag_baseline"] = {
+            "rev": tag_baseline.get("rev"),
+            "steady_total": tag_baseline.get("steady_total"),
+            **({"error": tag_baseline["error"][:120]}
+               if "error" in tag_baseline else {}),
+        }
     line = json.dumps(compact)
     if len(line) > 1950:  # belt-and-braces: never overflow the tail window
         compact.pop("errors", None)

@@ -68,6 +68,31 @@ def sum_money(expr: Column, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(expr), scale).cast("double").alias(alias)
 
 
+# ---- grid sums of raw 2-dec money columns (VERDICT r12 #1) ----------
+#
+# round(sum(double_money), 2) is summation-order-DEPENDENT once the
+# total reaches ~1e12 (sf10 grand totals: accumulated FP error exceeds a
+# cent, so the same data hashed differently across corpus regenerations
+# while both engines stayed green — ORACLE_SF10_SPOT_r12.log). Every
+# money column in the corpus lives on the 2-dec grid, so summing it as
+# DECIMAL(12,2) is exact and order-invariant at every scale; the final
+# DOUBLE cast of the one exact total is deterministic. agg_grouping_sets
+# proved the pattern cross-engine green at sf0.01/0.1/10 in r12; r13
+# sweeps it across the remaining money grand totals.
+
+
+def sum_money_grid(col_expr: str | Column, alias: str, dec: str = PRICE_DEC) -> Column:
+    """Spark: exact decimal-grid sum of a 2-dec DOUBLE column (or a
+    conditional expression over one), surfaced as DOUBLE."""
+    c = F.col(col_expr) if isinstance(col_expr, str) else col_expr
+    return F.sum(c.cast(dec)).cast("double").alias(alias)
+
+
+def sql_sum_money_grid(expr: str, alias: str, dec: str = "DECIMAL(12,2)") -> str:
+    """DuckDB mirror of :func:`sum_money_grid`."""
+    return f"CAST(sum(CAST({expr} AS {dec})) AS DOUBLE) AS {alias}"
+
+
 def _avg_grid_template(col_sql: str, dec: str, d: int, intdiv: str) -> str:
     """round(avg(col), d) computed with PURE INTEGER arithmetic, for a
     column whose true values live on the 2-dec grid (ADVICE r7: q1's

@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.functions.money import sum_money_grid
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.staging import source_fingerprint, stage_once
 from restaurant_etl_spark.sources.tables import load_table
@@ -38,7 +39,8 @@ def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
 @register(
     "source_csv_roundtrip",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
     FROM customer GROUP BY c_mktsegment
     """,
     category="relational",
@@ -51,7 +53,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = load_table(spark, sf_dir, "customer").schema
     back = spark.read.schema(schema).option("header", True).csv(path)
     return back.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal")
+        F.count("*").alias("n"), sum_money_grid("c_acctbal", "total_bal")
     )
 
 
@@ -76,7 +78,8 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_orc_roundtrip",
     oracle="""
-    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderpriority
     """,
     category="relational",
@@ -89,7 +92,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage(spark, sf_dir, "orders", "orc")
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), sum_money_grid("o_totalprice", "total")
     )
 
 
@@ -98,7 +101,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY 1
     """,
@@ -126,7 +129,7 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         back.filter(F.col("o_orderstatus") == "F")
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), sum_money_grid("o_totalprice", "total"))
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from restaurant_etl_spark.functions.money import sum_money_grid
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -36,7 +37,7 @@ Z_BUCKET_SHIFT = 12
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS sum_acctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
     FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
@@ -115,7 +116,7 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = pruned.join(build, pruned.c_custkey == build.o_custkey, "left_semi")
     return hits.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        sum_money_grid("c_acctbal", "sum_acctbal"),
     )
 
 

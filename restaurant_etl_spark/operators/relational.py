@@ -25,6 +25,7 @@ from restaurant_etl_spark.functions.money import (
     money,
     sql_avg_on_grid,
     sum_money,
+    sum_money_grid,
 )
 from restaurant_etl_spark.operators.asof import asof_join
 from restaurant_etl_spark.operators.registry import register
@@ -356,7 +357,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_nationkey, count(*) AS n_customers_no_orders,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
@@ -372,7 +373,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_customers_no_orders"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .agg(
+            F.count("*").alias("n_customers_no_orders"),
+            sum_money_grid("c_acctbal", "total_acctbal"),
+        )
     )
 
 
@@ -422,7 +426,8 @@ def join_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('small',  0.0,      100000.0),
         ('medium', 100000.0, 250000.0),
         ('large',  250000.0, 1e12))
-    SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    SELECT band, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -438,7 +443,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
         .groupBy("band")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n_orders"), sum_money_grid("o_totalprice", "total"))
     )
 
 

@@ -37,6 +37,15 @@ Entries keyed to a stopped SparkContext are dropped on every ``staged``
 call (their blocks died with the context), so a long-lived process
 cycling sessions or corpora holds at most the live context's live
 fingerprints.
+
+Corpus scoping (ADVICE r12): the cache key and the
+unpersist-on-supersede match both include ``realpath(sf_dir)``. Two
+corpora staging the same (table, label) from different directories are
+distinct live entries — only a true rewrite (same directory, new
+fingerprint) releases the predecessor's blocks. Without this, a process
+alternating between sf_dirs would thrash the cache AND unpersist frames
+a sibling still holds (localCheckpoint truncates lineage, so the holder
+fails with a missing-block error instead of recomputing).
 """
 
 from __future__ import annotations
@@ -49,11 +58,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _STAGED: dict[tuple, DataFrame] = {}
 
-# regression guard (VERDICT r11 #6): builds per (table, label) this
-# process — a refactor that quietly stops sharing the staged artifact
-# shows up here as a count > 1 per corpus, long before the sf10 cold
-# ledger would catch it
-_BUILD_COUNTS: dict[tuple[str, str], int] = {}
+# regression guard (VERDICT r11 #6): builds per (corpus dir, table,
+# label) this process — a refactor that quietly stops sharing the staged
+# artifact shows up here as a count > 1 per corpus, long before the sf10
+# cold ledger would catch it. Reset by ``clear_staged`` (VERDICT r12 #7)
+# so the dict is bounded by the live cache's corpora, not process history.
+_BUILD_COUNTS: dict[tuple[str, str, str], int] = {}
 
 
 def _table_files(sf_dir: str, table: str) -> list[str]:
@@ -110,27 +120,37 @@ def staged(
     # context; drop the dead references so the dict stays bounded
     for k in [k for k in _STAGED if k[0] != app_id]:
         del _STAGED[k]
+    sf_real = os.path.realpath(sf_dir)
     fp = table_fingerprint(sf_dir, table)
-    key = (app_id, table, fp, label)
+    key = (app_id, sf_real, table, fp, label)
     df = _STAGED.get(key)
     if df is None:
-        # unpersist-on-supersede: a rewritten corpus under the same path
-        # changed the fingerprint — release the old frame's checkpoint
-        # blocks now instead of pinning them until JVM exit
+        # unpersist-on-supersede: a rewritten corpus under the SAME
+        # directory changed the fingerprint — release the old frame's
+        # checkpoint blocks now instead of pinning them until JVM exit.
+        # Scoped to this sf_dir (ADVICE r12): other corpora's live
+        # entries for the same (table, label) are left alone.
         for k in [
             k
             for k in _STAGED
-            if k[0] == app_id and k[1] == table and k[3] == label and k[2] != fp
+            if k[0] == app_id
+            and k[1] == sf_real
+            and k[2] == table
+            and k[4] == label
+            and k[3] != fp
         ]:
             _release(_STAGED.pop(k))
         df = build().localCheckpoint()
         _STAGED[key] = df
-        _BUILD_COUNTS[(table, label)] = _BUILD_COUNTS.get((table, label), 0) + 1
+        bk = (sf_real, table, label)
+        _BUILD_COUNTS[bk] = _BUILD_COUNTS.get(bk, 0) + 1
     return df
 
 
 def clear_staged() -> None:
     """Drop every cache entry, explicitly unpersisting each frame's
-    checkpoint blocks (tests and long-lived sessions)."""
+    checkpoint blocks, and reset the build-count guard (tests and
+    long-lived sessions)."""
     while _STAGED:
         _release(_STAGED.popitem()[1])
+    _BUILD_COUNTS.clear()

@@ -4,6 +4,13 @@ in-window dedup — oracle-checked against DuckDB. The genuinely streaming
 implementations (watermarks, state, availableNow triggers) live in
 :mod:`restaurant_etl_spark.streaming` and are semantics-tested in
 tests/test_streaming.py; these batch twins define their expected output.
+
+Money-grid note (r13 sweep): the windowed ``sum(value)`` totals here stay
+on doubles deliberately — every sum is per (time-window, key) and the
+event-time windows keep group magnitude bounded by the window's row count
+(~10^4 rows × ~245 ≈ 10^6-10^7 even at sf100), five decades under the
+~10^12 regime where double summation loses the cents digit. Grand totals
+over whole tables are the unstable pattern; none exist in this module.
 """
 
 from __future__ import annotations

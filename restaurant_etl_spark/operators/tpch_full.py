@@ -21,6 +21,7 @@ from restaurant_etl_spark.functions.money import (
     frac,
     money,
     sum_money,
+    sum_money_grid,
 )
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
@@ -173,13 +174,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_balances",
     oracle="""
     WITH by_nation AS (
-        SELECT n_name, round(sum(s_acctbal), 2) AS nation_bal
+        SELECT n_name,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS nation_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     )
     SELECT n_name, nation_bal
     FROM by_nation
-    WHERE nation_bal > (SELECT sum(s_acctbal) * 0.03 FROM supplier)
+    WHERE nation_bal > (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(12,2)))
+                                    AS DOUBLE) * 0.03 FROM supplier)
     """,
     category="relational",
 )
@@ -193,9 +196,13 @@ def q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_nation = (
         s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum("s_acctbal"), 2).alias("nation_bal"))
+        .agg(sum_money_grid("s_acctbal", "nation_bal"))
     )
-    threshold = s.agg((F.sum("s_acctbal") * 0.03).alias("threshold"))
+    # threshold on the same exact grid so the filter boundary can't
+    # drift with summation order (r13 money-grid sweep)
+    threshold = s.agg(
+        (sum_money_grid("s_acctbal", "_g") * 0.03).alias("threshold")
+    )
     return (
         by_nation.join(F.broadcast(threshold))
         .filter(F.col("nation_bal") > F.col("threshold"))
@@ -305,7 +312,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN avg_qty ON l_partkey = pk
@@ -329,7 +336,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.count("*").alias("n_small"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            sum_money_grid("l_extendedprice", "total_price"),
         )
     )
 

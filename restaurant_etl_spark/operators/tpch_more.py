@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from restaurant_etl_spark.functions.money import SQL_DISC_PRICE, disc_price, sum_money
+from restaurant_etl_spark.functions.money import (
+    SQL_DISC_PRICE,
+    disc_price,
+    sum_money,
+    sum_money_grid,
+)
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -213,7 +218,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
     )
     SELECT c_mktsegment, count(*) AS n_rich,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -235,7 +240,7 @@ def q22_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_rich"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count("*").alias("n_rich"), sum_money_grid("c_acctbal", "total_bal"))
     )
 
 
@@ -282,7 +287,7 @@ def hypertable_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -304,7 +309,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt))
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_lines"), sum_money_grid("l_extendedprice", "total_price"))
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from restaurant_etl_spark.functions.money import sum_money_grid
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -51,7 +52,8 @@ def _price_tier(total: pd.Series) -> pd.Series:
                 WHEN o_totalprice < 150000 THEN 'medium'
                 WHEN o_totalprice < 300000 THEN 'large'
                 ELSE 'jumbo' END AS tier,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1
     """,
@@ -65,7 +67,7 @@ def udf_pandas_scalar_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("tier", _price_tier("o_totalprice"))
         .groupBy("tier")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), sum_money_grid("o_totalprice", "total"))
     )
 
 
@@ -90,7 +92,11 @@ def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
 )
 def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF: quantity-weighted mean price per
-    return flag (a UDAF), vs the closed-form SQL ratio."""
+    return flag (a UDAF), vs the closed-form SQL ratio. Deliberately NOT
+    on the DECIMAL grid (r13 sweep): the pandas-side float64 reduction IS
+    the surface under test, and the weighted mean self-normalizes
+    (sum error / sum qty ≈ 1e-10 at sf100 magnitude, far under the 2-dp
+    rounding step)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(_weighted_avg_price("l_extendedprice", "l_quantity"), 2).alias("w_avg_price")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from restaurant_etl_spark.functions.money import PRICE_DEC, sum_money
+from restaurant_etl_spark.functions.money import PRICE_DEC, sum_money, sum_money_grid
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -406,7 +406,8 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
     )
     SELECT op, CAST(count(*) AS BIGINT) AS n_changes,
-           round(sum(coalesce(new_price, 0)), 2) AS sum_new_price,
+           CAST(sum(CAST(coalesce(new_price, 0) AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_new_price,
            CAST(min(o_orderkey) AS BIGINT) AS min_key,
            CAST(max(o_orderkey) AS BIGINT) AS max_key
     FROM diff GROUP BY op
@@ -456,7 +457,7 @@ def cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = extract_changes(base, v2)
     return changes.groupBy("op").agg(
         F.count("*").alias("n_changes"),
-        F.round(F.sum(F.coalesce("new_price", F.lit(0.0))), 2).alias("sum_new_price"),
+        sum_money_grid(F.coalesce("new_price", F.lit(0.0)), "sum_new_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )

@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from restaurant_etl_spark.functions.money import (
+    QTY_DEC,
+    sql_sum_money_grid,
+    sum_money_grid,
+)
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
 
@@ -30,7 +35,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT event_type,
            count(*)                     AS n_events,
            count(DISTINCT user_id)      AS n_users,
-           round(sum(value), 2)         AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            round(avg(value), 4)         AS avg_value,
            round(min(value), 2)         AS min_value,
            round(max(value), 2)         AS max_value
@@ -40,12 +45,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     category="relational",
 )
 def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash aggregation battery: count / distinct / sum / avg / min / max."""
+    """Hash aggregation battery: count / distinct / sum / avg / min / max.
+    value lives on the 2-dec grid, so the per-type SUM goes through
+    DECIMAL(12,2) for order-invariant cents at any scale (r13 money-grid
+    sweep, VERDICT r12 #1); AVG self-normalizes (error/n) and stays
+    double."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_money_grid("value", "sum_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
@@ -80,7 +89,8 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)  AS n_negative,
            CAST(count(*) FILTER (WHERE c_acctbal >= 5000) AS BIGINT) AS n_rich,
-           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS positive_balance
+           CAST(sum(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END
+                         AS DECIMAL(12,2))) AS DOUBLE) AS positive_balance
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -88,13 +98,15 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (FILTER / CASE WHEN) — null-safe predicate style
-    mirroring reference A2 (count items where has_any_price)."""
+    mirroring reference A2 (count items where has_any_price). The money
+    branch sums on the DECIMAL(12,2) grid (r13 sweep)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
         F.count(F.when(F.col("c_acctbal") >= 5000, 1)).alias("n_rich"),
-        F.round(F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0.0)), 2).alias(
-            "positive_balance"
+        sum_money_grid(
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0.0),
+            "positive_balance",
         ),
     )
 
@@ -102,7 +114,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 15
@@ -114,7 +127,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(F.count("*").alias("n_orders"), sum_money_grid("o_totalprice", "total_spend"))
         .filter(F.col("n_orders") >= 15)
     )
 
@@ -122,7 +135,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup_geo",
     oracle="""
-    SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -139,7 +153,7 @@ def agg_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+        .agg(F.count("*").alias("n_customers"), sum_money_grid("c_acctbal", "total_balance"))
     )
 
 
@@ -147,7 +161,8 @@ def agg_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_flags",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_lines
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -157,7 +172,8 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over both flag dimensions (all 2^2 grouping combinations)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_lines")
+        sum_money_grid("l_quantity", "sum_qty", dec=QTY_DEC),
+        F.count("*").alias("n_lines"),
     )
 
 
@@ -266,7 +282,12 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="relational",
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative running total per customer (deterministic order incl. key)."""
+    """Cumulative running total per customer (deterministic order incl. key).
+
+    Stays on doubles (r13 money-grid sweep): the window frame forces ONE
+    summation order (o_orderdate, o_orderkey) in both engines, and the
+    running sum is bounded per customer (~10^7 over ≤ dozens of orders),
+    four decades under the magnitude where double sums lose cents."""
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -784,7 +805,8 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode between min/max day) left-joined to daily aggregates, zeros for
     missing days — the densification primitive for downstream window math.
     The spine is generated per key (narrow after one bounds agg), never a
-    global calendar cross join."""
+    global calendar cross join. Daily per-user value sums stay double
+    (r13 sweep: ≤ ~10^4 magnitude, never near the unstable regime)."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     daily = (
         e.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))

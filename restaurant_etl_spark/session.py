@@ -21,6 +21,31 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _env_shuffle() -> int:
+    """SPARK_GRAFT_SHUFFLE parsed defensively (ADVICE r12): anything
+    that isn't a positive integer — unset, garbage, zero, negative —
+    falls back to 0 (meaning "use the cpus default") with a warning
+    instead of raising or sneaking a negative into
+    spark.sql.shuffle.partitions."""
+    raw = os.environ.get("SPARK_GRAFT_SHUFFLE", "").strip()
+    if not raw:
+        return 0
+    try:
+        v = int(raw)
+    except ValueError:
+        v = -1
+    if v <= 0:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_SHUFFLE={raw!r} is not a positive integer; "
+            "using the cpus default",
+            stacklevel=2,
+        )
+        return 0
+    return v
+
+
 def get_spark(
     app_name: str = "restaurant-etl-spark",
     cpus: int | None = None,
@@ -39,11 +64,7 @@ def get_spark(
     # a join's build side — raise partitions without touching callers.
     # AQE coalesces the excess on small queries, so over-provisioning is
     # safe.
-    shuffle = (
-        shuffle_partitions
-        or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0"))
-        or cpus
-    )
+    shuffle = shuffle_partitions or _env_shuffle() or cpus
     # mount the vendored protobuf bridge (no-op when a real protobuf is
     # installed) BEFORE the JVM starts: transformWithStateInPandas's state
     # protocol needs google.protobuf inside the forked Python WORKERS,

@@ -296,10 +296,23 @@ def _run_one(workload: str, sf_dir: str, tag: str) -> int:
     marked line for the parent to parse."""
     spark = get_spark(f"bench_streaming_{workload}{tag}")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
-    # the x100 session point drains 800 micro-batches; Spark retains only
-    # the last 100 progress updates by default, silently truncating the
-    # totals (_progress_metrics sums recentProgress) — keep every trigger
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    # Spark retains only the last 100 progress updates by default, and
+    # _progress_metrics sums recentProgress — a drain longer than the
+    # retention silently truncates the totals (the x100 point's 800
+    # batches hit this at a fixed 2000 in r12). Derive the retention from
+    # the workload's expected batch count plus slack (ADVICE r12) so any
+    # future decade is covered by construction, not by a magic number.
+    if workload.startswith("session"):
+        n_files = int(workload.split(":", 1)[1]) if ":" in workload else (
+            160 if workload.startswith("session_big") else 16
+        )
+        expected_batches = -(-n_files // 2)  # files_per_trigger=2
+    else:
+        expected_batches = 10  # bench_cdc_sink n_batches default
+    retention = max(200, 2 * expected_batches + 50)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(retention)
+    )
     if workload == "session":
         m = bench_session_windows(spark, sf_dir, tag=tag)
     elif workload.startswith("session_big"):
@@ -307,7 +320,6 @@ def _run_one(workload: str, sf_dir: str, tag: str) -> int:
         # (x100 decade uses 1600: scale the FILE count with the data so
         # rows-per-batch stay equal and latency growth isolates state
         # size — VERDICT r11 #4)
-        n_files = int(workload.split(":", 1)[1]) if ":" in workload else 160
         m = bench_session_windows(
             spark, sf_dir, n_files=n_files, files_per_trigger=2, tag=tag
         )
@@ -315,6 +327,15 @@ def _run_one(workload: str, sf_dir: str, tag: str) -> int:
         m = bench_cdc_sink(spark, sf_dir, tag=tag)
     else:
         raise SystemExit(f"unknown --one workload {workload!r}")
+    # belt-and-suspenders: the drain must have reported at least the
+    # expected batch count — fewer means the retention window truncated
+    # the progress log and the totals below it are fiction
+    reported = m.get("batches", 0) + m.get("empty_triggers", 0)
+    if "batches" in m and reported < expected_batches:
+        raise SystemExit(
+            f"progress log truncated: {reported} triggers reported "
+            f"< {expected_batches} expected (retention={retention})"
+        )
     print(_CHILD_MARK + json.dumps(m))
     return 0
 
@@ -344,9 +365,17 @@ def _envelope(workload: str, sf_dir: str, n: int) -> dict:
     Returns the median-throughput run as the representative plus the
     envelope of steady rows/s across repetitions."""
     runs = [_run_point(workload, sf_dir, f"_{workload}_e{i}") for i in range(n)]
-    keyed = sorted(
-        runs, key=lambda m: (m["steady"]["rows_per_sec"] or 0)
-    )
+    # ADVICE r12: pick the representative from runs with real readings
+    # only — coercing a failed run's None throughput to 0 for the sort
+    # could make the median-index pick a degenerate run whose None stats
+    # then propagate into the state-decade ratios
+    live = [m for m in runs if m["steady"]["rows_per_sec"] is not None]
+    if len(live) * 2 < len(runs) or not live:
+        raise RuntimeError(
+            f"{workload}: only {len(live)}/{len(runs)} repetitions produced "
+            "steady readings — envelope unusable"
+        )
+    keyed = sorted(live, key=lambda m: m["steady"]["rows_per_sec"])
     rep = keyed[len(keyed) // 2]
     # ADVICE r11: drop None readings instead of coercing to 0 — one
     # failed/empty repetition would otherwise drive the envelope's lower
@@ -403,6 +432,94 @@ def _classify_vs_prev(vs_prev: dict | None, workloads: dict) -> None:
                 "confirmed_faster" if p_rps < lo else "confirmed_slower"
             )
         delta["envelope_pooled_rows_per_sec"] = [lo, hi]
+
+
+#: vs_prev workload keys -> child --one workload names
+_WL_CHILD = {"session_windows_rocksdb": "session", "cdc_sink_rocksdb": "cdc"}
+
+
+def _tag_baseline(vs_prev: dict | None, sf_dir: str) -> dict | None:
+    """Same-boot tag-matched baseline (VERDICT r12 #6): for every vs_prev
+    delta classified confirmed_*, re-run that workload ONCE in a fresh JVM
+    at the previous artifact's commit (throwaway git worktree) and record
+    the reading in the artifact itself. If the tag reading falls inside
+    THIS round's pooled envelope, the code never moved — the cross-round
+    delta is the box (reclassified ``environment``); outside it, the delta
+    survives same-boot replay (``code_change``). Advisory: any failure is
+    recorded, never raised."""
+    if not vs_prev:
+        return None
+    flagged = [
+        wl for wl, d in vs_prev.items()
+        if str(d.get("classification", "")).startswith("confirmed")
+        and wl in _WL_CHILD
+    ]
+    if not flagged:
+        return None
+    env_rev = os.environ.get("SPARK_GRAFT_TAG_BASELINE", "auto")
+    if env_rev in ("off", "0", "none", ""):
+        return None
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if env_rev != "auto":
+        rev = env_rev
+    else:
+        rev = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             os.path.basename(_newest_prev_artifact())],
+            cwd=here, capture_output=True, text=True,
+        ).stdout.strip()
+    if not rev:
+        return None
+    out: dict = {"rev": rev[:12], "workloads": {}}
+    wt = tempfile.mkdtemp(prefix="stream_tag_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, rev],
+            cwd=here, capture_output=True, text=True, check=True,
+        )
+        for wl in flagged:
+            child_wl = _WL_CHILD[wl]
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(wt, "scripts", "bench_streaming.py"),
+                     "--one", child_wl, sf_dir, f"_tag_{child_wl}"],
+                    cwd=wt, capture_output=True, text=True, timeout=3900,
+                )
+                m = None
+                for line in reversed(proc.stdout.splitlines()):
+                    if line.startswith(_CHILD_MARK):
+                        m = json.loads(line[len(_CHILD_MARK):])
+                        break
+                if m is None:
+                    out["workloads"][wl] = {
+                        "error": f"no metrics (rc={proc.returncode})"}
+                    continue
+                tag_rps = (m.get("pooled") or {}).get("rows_per_sec")
+                rec: dict = {"pooled_rows_per_sec": tag_rps}
+                env = vs_prev[wl].get("envelope_pooled_rows_per_sec")
+                if tag_rps is not None and env:
+                    lo, hi = env
+                    rec["classification"] = (
+                        "environment" if lo <= tag_rps <= hi else "code_change"
+                    )
+                    vs_prev[wl]["tag_classification"] = rec["classification"]
+                out["workloads"][wl] = rec
+            except Exception as exc:  # noqa: BLE001 — advisory
+                out["workloads"][wl] = {
+                    "error": f"{type(exc).__name__}: {str(exc)[:200]}"}
+    except Exception as exc:  # noqa: BLE001 — advisory
+        out["error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+    finally:
+        import shutil
+
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=here, capture_output=True, text=True)
+        shutil.rmtree(wt, ignore_errors=True)
+    return out
 
 
 def main() -> int:
@@ -493,6 +610,7 @@ def main() -> int:
                 state_decade[f"x{scale}"] = point
     vs_prev = _delta_vs_prev(workloads, prev)
     _classify_vs_prev(vs_prev, workloads)
+    tag_baseline = _tag_baseline(vs_prev, sf_dir)
     result = {
         "metric": "streaming_bench",
         "state_store": "rocksdb",
@@ -505,6 +623,7 @@ def main() -> int:
         "workloads": workloads,
         "state_decade": state_decade,
         "vs_prev": vs_prev,
+        "tag_baseline": tag_baseline,
         "prev_artifact": os.path.basename(prev),
         "sf_dir": sf_dir,
     }

@@ -51,9 +51,9 @@ def test_staged_rekeys_on_table_rewrite(spark, tmp_path):
     # unpersist-on-supersede (VERDICT r11 #2): the rewrite must EVICT the
     # stale entry, not leave it unreachable-but-alive — exactly one entry
     # remains for (documents, t) and it is the new fingerprint's
-    left = [k for k in staging._STAGED if k[1] == "documents" and k[3] == "t"]
+    left = [k for k in staging._STAGED if k[2] == "documents" and k[4] == "t"]
     assert len(left) == 1
-    assert left[0][2] == staging.table_fingerprint(p, "documents")
+    assert left[0][3] == staging.table_fingerprint(p, "documents")
 
 
 def _persisted_rdd_ids(spark):
@@ -90,10 +90,50 @@ def test_clear_staged_releases_blocks(spark, sf_dir):
 def test_dead_context_entries_evicted(spark, sf_dir):
     """Entries keyed to a stopped SparkContext are dropped on the next
     staged() call (ADVICE r11: bound long-lived multi-session processes)."""
+    import os
+
     fp = staging.table_fingerprint(sf_dir, "region")
-    staging._STAGED[("app-dead-ctx", "region", fp, "x")] = spark.range(1)
+    key = ("app-dead-ctx", os.path.realpath(sf_dir), "region", fp, "x")
+    staging._STAGED[key] = spark.range(1)
     staging.staged(spark, sf_dir, "region", "y", lambda: spark.range(2))
-    assert ("app-dead-ctx", "region", fp, "x") not in staging._STAGED
+    assert key not in staging._STAGED
+
+
+def test_two_corpora_coexist_without_thrash(spark, tmp_path):
+    """ADVICE r12 (medium): alternating staged() calls for the same
+    (table, label) across TWO corpus dirs must not evict/unpersist each
+    other — each corpus builds exactly once and both frames stay live
+    and readable afterwards."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).write.mode("overwrite").parquet(f"{pa}/documents.parquet")
+    spark.range(7).write.mode("overwrite").parquet(f"{pb}/documents.parquet")
+    calls = []
+
+    def mk(p):
+        def build():
+            calls.append(p)
+            return spark.read.parquet(f"{p}/documents.parquet")
+
+        return build
+
+    frames = {}
+    for _ in range(3):  # alternate — pre-fix this thrashed (6 builds)
+        frames["a"] = staging.staged(spark, pa, "documents", "t", mk(pa))
+        frames["b"] = staging.staged(spark, pb, "documents", "t", mk(pb))
+    assert len(calls) == 2, f"cache thrashed across corpora: {calls}"
+    # both frames' checkpoint blocks are still alive and correct
+    assert frames["a"].count() == 3
+    assert frames["b"].count() == 7
+
+
+def test_clear_staged_resets_build_counts(spark, sf_dir):
+    """VERDICT r12 #7: _BUILD_COUNTS is bounded — clear_staged() resets
+    it with the cache instead of growing per (corpus, table, label)
+    forever."""
+    staging.staged(spark, sf_dir, "region", "bc", lambda: spark.range(2))
+    assert staging._BUILD_COUNTS
+    staging.clear_staged()
+    assert not staging._BUILD_COUNTS
 
 
 def test_staged_sa_and_common_shared_across_queries(spark, sf_dir):

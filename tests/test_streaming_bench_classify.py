@@ -152,3 +152,84 @@ def test_session_big_file_count_parses_from_workload_name(monkeypatch, capsys):
     bs._run_one("session_big:1600", "/tmp/x", "_t")
     bs._run_one("session_big", "/tmp/x", "_t")
     assert seen == [1600, 160]
+
+
+def test_retention_scales_with_workload(monkeypatch):
+    """ADVICE r12: numRecentProgressUpdates is derived from the expected
+    batch count, not pinned — a x1000 session point (8000 batches) must
+    set retention above its drain length."""
+    import bench_streaming as bs
+
+    seen = {}
+
+    class _Conf:
+        def set(self, k, v):
+            seen[k] = v
+
+    class _Spark:
+        conf = _Conf()
+
+    monkeypatch.setattr(bs, "get_spark", lambda *a, **k: _Spark())
+    monkeypatch.setattr(
+        bs,
+        "bench_session_windows",
+        lambda spark, sf_dir, n_files=16, files_per_trigger=2, tag="": {},
+    )
+    bs._run_one("session_big:16000", "/tmp/x", "_t")
+    kept = int(seen["spark.sql.streaming.numRecentProgressUpdates"])
+    assert kept >= 8000, f"retention {kept} would truncate an 8000-batch drain"
+
+
+def test_run_one_refuses_truncated_progress(monkeypatch):
+    """If the drain reports fewer triggers than expected, the totals are
+    truncated — _run_one must refuse to emit them."""
+    import pytest
+
+    import bench_streaming as bs
+
+    class _Conf:
+        def set(self, *a):
+            pass
+
+    class _Spark:
+        conf = _Conf()
+
+    monkeypatch.setattr(bs, "get_spark", lambda *a, **k: _Spark())
+    monkeypatch.setattr(
+        bs,
+        "bench_session_windows",
+        lambda spark, sf_dir, n_files=16, files_per_trigger=2, tag="": {
+            "batches": 3,
+            "empty_triggers": 1,
+        },
+    )
+    with pytest.raises(SystemExit, match="truncated"):
+        bs._run_one("session_big:1600", "/tmp/x", "_t")
+
+
+def test_envelope_representative_skips_none_runs(monkeypatch):
+    """ADVICE r12: the representative run comes from repetitions with
+    real steady readings; a majority-failed envelope raises instead of
+    propagating None stats into the decade ratios."""
+    import pytest
+
+    import bench_streaming as bs
+
+    def _mk(rps):
+        return {
+            "steady": {"rows_per_sec": rps, "batch_ms": {"median": 1.0}},
+            "pooled": {"rows_per_sec": rps},
+        }
+
+    runs = iter([_mk(None), _mk(500.0), _mk(700.0)])
+    monkeypatch.setattr(bs, "_run_point", lambda *a, **k: next(runs))
+    rep = bs._envelope("cdc", "/tmp/x", 3)
+    # median of the 2 live runs (index 1 of sorted [500, 700]) — never the
+    # None run
+    assert rep["steady"]["rows_per_sec"] == 700.0
+    assert rep["envelope"]["complete"] is False
+
+    runs2 = iter([_mk(None), _mk(None), _mk(500.0)])
+    monkeypatch.setattr(bs, "_run_point", lambda *a, **k: next(runs2))
+    with pytest.raises(RuntimeError, match="envelope unusable"):
+        bs._envelope("cdc", "/tmp/x", 3)
