@@ -20,6 +20,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1627,11 +1629,14 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix, codegen'd), two band keys sliced to B bits each (BIGINT:
     B=32 sets bit 31), bucket self-join, exact cosine ≥ 0.3 verify
     inside buckets, min-id canonical per vector — one keep/drop row per
-    vector."""
-    e, _n, _width, cand = _adaptive_cand(spark, sf_dir)
-    dup = cand.filter(
-        _dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= 0.3
-    ).select("id_a", "id_b")
+    vector.
+
+    Verify traffic (r13, VERDICT r12 #4): the bucket join and prefilter
+    carry int8-quantized vectors; only prefilter survivors re-fetch
+    floats for the exact ≥ 0.3 check (see :func:`_quantized_dup_pairs`
+    — provably the same dup set, ~4-8× less verify-stage shuffle: the
+    stage that measured ~160 GB at n=100M against 39 GB of scratch)."""
+    e, _n, _width, dup = _quantized_dup_pairs(spark, sf_dir, tau=0.3)
     return (
         e.join(dup, e.vec_id == dup.id_b, "left")
         .groupBy("vec_id")
@@ -1642,20 +1647,11 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = None):
-    """The keep-list's candidate stage, shared with
-    ``scripts/measure_adaptive_candidates.py`` so the Θ(n) claim is
-    measured on EXACTLY the production pipeline. Returns
-    ``(e, n, band_width, cand)`` — ``cand`` is the DISTINCT bucket-join
-    pair set (id_a < id_b) with both vectors AND their precomputed norms
-    attached (va/vb/na/nb). The bucket self-join and the pair DISTINCT
-    carry ids only (r8: vectors formerly rode through the DISTINCT hash
-    table at 1 KB per collision); vectors/norms are re-fetched by two
-    narrow id joins for the verify stage — which assumes vec_id is
-    UNIQUE in the corpus (a duplicate would emit duplicate scored rows
-    where the old whole-row DISTINCT collapsed them; enforced loudly by
-    :func:`_emb`'s data contract, ADVICE r8). ``force_width`` pins B
-    (measurement-only: the counterfactual old-clamp run)."""
+def _adaptive_stage(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+    """Shared first stage of the adaptive keep-list pipelines: the
+    embeddings frame, the plan-time corpus count, the adaptive band
+    width B = clamp(bit_length(n), 8, 32), and the signature relation
+    ``s`` (vec_id, v, sig, nrm)."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
     n = e.count()  # plan-time stat (catalog/footer lookup at scale)
     width = force_width or min(ADAPT_MAX_B, max(ADAPT_MIN_B, int(n).bit_length()))
@@ -1665,14 +1661,75 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
         F.expr(_spark_sig(ADAPT_MAX_BITS)).alias("sig"),
         _norm(_dvec("v")).alias("nrm"),
     )
-    band_val = [
+    return e, n, width, s
+
+
+def _band_exprs(width: int) -> list[Column]:
+    """The ADAPT_BANDS band keys, each a ``width``-bit slice of ``sig``
+    packed into a BIGINT (plan-time-constant width, codegen'd)."""
+    return [
         F.expr(
             f"aggregate(sequence(1, {width}), CAST(0 AS BIGINT), "
             f"(acc, r) -> acc + element_at(sig, {k} * {width} + r) * shiftleft(CAST(1 AS BIGINT), r - 1))"
         ).alias(f"band{k}")
         for k in range(ADAPT_BANDS)
     ]
-    bands = s.select("vec_id", F.posexplode(F.array(*band_val)).alias("band_idx", "band"))
+
+
+#: Conservative quantized-cosine slack (VERDICT r12 #4): q = round(127·u)
+#: of a unit vector u deviates by ‖q − 127u‖₂ ≤ 0.5·√DIM, so the angle
+#: between q and u is at most asin(0.5√DIM / (127 − 0.5√DIM)), and the
+#: cosine of two quantized vectors differs from the true cosine by at most
+#: the SUM of the two angle errors (cos is 1-Lipschitz in angle). For
+#: DIM=64: 2·asin(4/123) ≈ 0.0651. Any pair with true cosine ≥ τ therefore
+#: has quantized cosine ≥ τ − _Q_EPS — the int8 prefilter is provably
+#: lossless, so the exact float re-check on its survivors returns the
+#: byte-identical dup set (tests/test_emb_quantized.py pins both claims).
+_Q_EPS = 2.0 * math.asin((0.5 * math.sqrt(DIM)) / (127.0 - 0.5 * math.sqrt(DIM)))
+
+#: int8 quantization of v onto the unit sphere: round(127·v/‖v‖), clamped
+#: against FP wobble at ±127. ANSI-safe: the all-zeros vector's /0 goes
+#: through try_divide → NULL → snapped to 0 (cosine with a zero vector is
+#: undefined; it quantizes to the zero int8 vector, whose qdot=0 sits
+#: under every threshold and drops its pairs), and no tinyint overflow
+#: path exists.
+_Q_EXPR = (
+    "transform(v, x -> cast(greatest(-127.0D, least(127.0D, coalesce(nanvl("
+    "round(try_divide(CAST(x AS DOUBLE) * 127.0D, nrm)), CAST(0.0 AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE)))) AS tinyint))"
+)
+#: integer cross-dot of two int8 vectors (≤ 64·127² ≈ 1.03e6, fits INT;
+#: alias-qualified for the bucket self-join)
+_QDOT_EXPR = (
+    "aggregate(zip_with(a.q, b.q, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), "
+    "0, (acc, p) -> acc + p)"
+)
+
+#: smallest possible ‖q‖: a unit vector quantizes to 127·u + δ with
+#: ‖δ‖ ≤ 0.5·√DIM, so ‖q‖ ≥ 127 − 0.5·√DIM (= 123 at DIM=64)
+_Q_NORM_LO = 127.0 - 0.5 * math.sqrt(DIM)
+
+
+def _q_int_threshold(tau: float) -> int:
+    """Pure-integer prefilter threshold: true cosine ≥ tau implies
+    quantized cosine qdot/(‖qa‖‖qb‖) ≥ tau − _Q_EPS, hence
+    qdot ≥ (tau − _Q_EPS)·‖qa‖‖qb‖ ≥ (tau − _Q_EPS)·_Q_NORM_LO² (the
+    last step needs tau > _Q_EPS, asserted). floor() keeps the pass
+    condition conservative; no division and no per-row norm ever runs."""
+    slack = tau - _Q_EPS
+    assert slack > 0, f"tau={tau} must exceed the quantization slack {_Q_EPS}"
+    return int(math.floor(slack * _Q_NORM_LO * _Q_NORM_LO))
+
+
+def _adaptive_ids(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+    """Candidate-pair IDS only (vectors carried by NOTHING): the bucket
+    self-join on skinny (vec_id, band_idx, band) rows plus the pair
+    DISTINCT. This is the cheapest way to COUNT candidates (the waste
+    row's ``pairs`` column) — no vector ever crosses an exchange."""
+    e, n, width, s = _adaptive_stage(spark, sf_dir, force_width)
+    bands = s.select(
+        "vec_id", F.posexplode(F.array(*_band_exprs(width))).alias("band_idx", "band")
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     ids = (
@@ -1688,6 +1745,88 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
         )
         .distinct()
     )
+    return e, n, width, s, ids
+
+
+def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
+    """Exact verified near-dup pairs (id_a < id_b, cosine ≥ tau) with the
+    verify stage's bulk traffic carried as int8 (VERDICT r12 #4: the
+    n=100M keep-list's float-vector verify needed ~160 GB of shuffle
+    against 39 GB of scratch — ORACLE_EMB100M_r12.log).
+
+    Shape: the band relation itself carries the int8-quantized vector
+    (DIM bytes vs DIM·4B float + array overhead), the bucket self-join
+    reuses ONE exchange of it (self-join → ReusedExchange), and the
+    PURE-INTEGER prefilter ``qdot ≥ _q_int_threshold(tau)`` runs
+    PIPELINED on the join output — no extra shuffle, no per-row norm,
+    no division. Only its survivors (≈ the true near-dups, a vanishing
+    fraction of band collisions) are DISTINCT'd and re-joined to the
+    float vectors for the exact ≥ tau verify; AQE broadcasts the tiny
+    survivor set, so the full float relation never shuffles at all. The
+    prefilter is provably lossless (see _Q_EPS / _q_int_threshold), so
+    the returned pair set is byte-identical to the all-float verify.
+
+    Plan note: quantization happens AFTER posexplode (2× per vector, a
+    few interpreted array ops) — computing it below the Generate lets
+    CollapseProject inline the norm subexpression into every lambda
+    element of the interpreted HOF chain, measured 20× slower per row.
+
+    Returns (e, n, width, dup) where dup has columns (id_a, id_b)."""
+    e, n, width, s = _adaptive_stage(spark, sf_dir)
+    bq = (
+        s.select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.posexplode(F.array(*_band_exprs(width))).alias("band_idx", "band"),
+        )
+        .withColumn("q", F.expr(_Q_EXPR))
+        .select("vec_id", "q", "band_idx", "band")
+    )
+    a = bq.alias("a")
+    b = bq.alias("b")
+    pre = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.expr(_QDOT_EXPR) >= F.lit(_q_int_threshold(tau)))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    sb = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dup = (
+        pre.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(_dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= tau)
+        .select("id_a", "id_b")
+    )
+    return e, n, width, dup
+
+
+def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+    """The keep-list's candidate stage with FLOAT vectors attached —
+    used by ``scripts/measure_adaptive_candidates.py`` (the Θ(n) waste
+    series) and by tests as the reference the quantized verify must
+    match. Candidate GENERATION (corpus → s → bands → bucket join) is
+    byte-identical to production via the shared :func:`_adaptive_stage`
+    / :func:`_band_exprs`; since r13 the production verify carries int8
+    (:func:`_quantized_dup_pairs`) while this float attach remains the
+    ground-truth twin. Returns
+    ``(e, n, band_width, cand)`` — ``cand`` is the DISTINCT bucket-join
+    pair set (id_a < id_b) with both vectors AND their precomputed norms
+    attached (va/vb/na/nb). The bucket self-join and the pair DISTINCT
+    carry ids only (r8: vectors formerly rode through the DISTINCT hash
+    table at 1 KB per collision); vectors/norms are re-fetched by two
+    narrow id joins for the verify stage — which assumes vec_id is
+    UNIQUE in the corpus (a duplicate would emit duplicate scored rows
+    where the old whole-row DISTINCT collapsed them; enforced loudly by
+    :func:`_emb`'s data contract, ADVICE r8). ``force_width`` pins B
+    (measurement-only: the counterfactual old-clamp run)."""
+    e, n, width, s, ids = _adaptive_ids(spark, sf_dir, force_width)
     sa = s.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

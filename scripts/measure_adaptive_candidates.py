@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from restaurant_etl_spark.operators.similarity import (
     ADAPT_BANDS,
     ADAPT_MIN_B,
-    _adaptive_cand,
+    _adaptive_ids,
+    _quantized_dup_pairs,
 )
 from restaurant_etl_spark.session import get_spark
 
@@ -44,24 +45,22 @@ def main() -> int:
     if not dirs:
         print(__doc__, file=sys.stderr)
         return 2
-    from pyspark.sql import functions as F
-
-    from restaurant_etl_spark.operators.similarity import _dvec, cosine
-
     spark = get_spark()
     for d in dirs:
-        _e, n, width, cand = _adaptive_cand(spark, d)
         # split candidates into TRUE near-dups (cos >= 0.3 — the keep-list's
         # verified output, a data property that any correct dedup must
         # examine) and WASTE (random band collisions — the quantity the
         # adaptive width bounds at Θ(n)): the Θ(n) claim is about waste.
-        agg = cand.agg(
-            F.count("*").alias("pairs"),
-            F.sum(
-                (cosine(_dvec("va"), _dvec("vb")) >= 0.3).cast("long")
-            ).alias("dups"),
-        ).first()
-        pairs, dups = int(agg["pairs"]), int(agg["dups"] or 0)
+        # r13 (VERDICT r12 #4): counted via the scale shapes production
+        # uses — pairs from the ids-only bucket join (no vector crosses an
+        # exchange), dups from the int8-prefiltered exact verify (provably
+        # the same count as the all-float verify, tests/test_emb_quantized
+        # .py) — so this measurement survives the n=100M point the float
+        # attach ENOSPC'd on (ORACLE_EMB100M_r12.log attempts 1-3).
+        _e, n, width, _s, ids = _adaptive_ids(spark, d)
+        pairs = ids.count()
+        _e2, _n2, _w2, dup = _quantized_dup_pairs(spark, d)
+        dups = dup.count()
         old_b = min(16, max(ADAPT_MIN_B, int(n).bit_length()))
         row = {
             "dir": d,
@@ -79,8 +78,8 @@ def main() -> int:
         if measure_old and old_b < width:
             # counterfactual: the SAME pipeline pinned to the r7 clamp —
             # measured, not estimated
-            _e2, _n2, _w2, cand_old = _adaptive_cand(spark, d, force_width=old_b)
-            old_pairs = cand_old.count()
+            _e3, _n3, _w3, _s3, ids_old = _adaptive_ids(spark, d, force_width=old_b)
+            old_pairs = ids_old.count()
             row["old_clamp_measured_pairs"] = old_pairs
             row["old_clamp_waste_per_vector"] = round((old_pairs - dups) / n, 3)
         print(json.dumps(row), flush=True)
