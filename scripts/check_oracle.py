@@ -122,6 +122,23 @@ def _fp_grid_cols(schema_fields) -> list[str]:
     ]
 
 
+def _fp_time_cols(schema_fields) -> dict[str, str]:
+    """timestamp/date columns → canonicalized as exact integers (r13:
+    scd2_event_type_history's 80M-row sf100 output exceeds the driver
+    collect path and its history columns are timestamps). Both engines
+    map a timestamp to epoch MICROSECONDS as BIGINT (Spark unix_micros /
+    DuckDB epoch_us, both UTC) and a date to days-since-epoch — integer
+    arithmetic, no format-string parity to trust."""
+    out = {}
+    for f in schema_fields:
+        t = f.dataType.simpleString()
+        if t.startswith("timestamp"):
+            out[f.name] = "timestamp"
+        elif t == "date":
+            out[f.name] = "date"
+    return out
+
+
 def _fingerprint_spark(sdf, dp: int | None = None):
     """(count, hsum1, hsum2, margin) computed INSIDE Spark — no rows reach
     the driver. Canonical row = sorted-by-name columns cast to string,
@@ -156,10 +173,18 @@ def _fingerprint_spark(sdf, dp: int | None = None):
             )
         elif t in _FP_SAFE_TYPES:
             exprs.append((f.name, F.col(f.name).cast("string")))
+        elif t.startswith("timestamp"):
+            exprs.append((f.name, F.unix_micros(F.col(f.name)).cast("string")))
+        elif t == "date":
+            exprs.append((
+                f.name,
+                F.datediff(F.col(f.name), F.lit("1970-01-01").cast("date"))
+                .cast("string"),
+            ))
         else:
             raise TypeError(
-                f"fingerprint mode needs int/string/boolean columns "
-                f"(or float/decimal with --fingerprint=name:dp); "
+                f"fingerprint mode needs int/string/boolean/timestamp/date "
+                f"columns (or float/decimal with --fingerprint=name:dp); "
                 f"{f.name} is {t}"
             )
     s = F.concat_ws(
@@ -193,7 +218,7 @@ def _fingerprint_spark(sdf, dp: int | None = None):
 
 def _fingerprint_duck(
     con, sql: str, cols: list[str], grid_cols: list[str] | None = None,
-    dp: int | None = None,
+    dp: int | None = None, time_cols: dict[str, str] | None = None,
 ):
     """Same scalars computed INSIDE DuckDB over the oracle query.
     sum(BIGINT) widens to HUGEINT (128-bit), so the 60-bit row hashes
@@ -218,6 +243,15 @@ def _fingerprint_duck(
                 f"CASE WHEN {m} < {_FP_GRID_SLACK!r} AND {m} > "
                 f"greatest(abs({y}), 1.0) * {ulp_factor!r} "
                 f"THEN 1 ELSE 0 END AS o_{c}"
+            )
+        elif (time_cols or {}).get(c) == "timestamp":
+            canon_parts.append(
+                f"coalesce(CAST(epoch_us({c}) AS VARCHAR), '<NULL>')"
+            )
+        elif (time_cols or {}).get(c) == "date":
+            canon_parts.append(
+                "coalesce(CAST(date_diff('day', DATE '1970-01-01', "
+                f"{c}) AS VARCHAR), '<NULL>')"
             )
         else:
             canon_parts.append(f"coalesce(CAST({c} AS VARCHAR), '<NULL>')")
@@ -326,6 +360,7 @@ def main() -> int:
                 sdf = fn(spark, sf_dir)
                 scols = sorted(sdf.columns)
                 grid_cols = _fp_grid_cols(sdf.schema.fields) if dp is not None else []
+                time_cols = _fp_time_cols(sdf.schema.fields)
                 s_fp = _fingerprint_spark(sdf, dp=dp)
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"SPARK ERROR: {e}"))
@@ -348,7 +383,8 @@ def main() -> int:
                     ).fetchall()
                 )
                 d_fp = _fingerprint_duck(
-                    con, oracles[name], sdf.columns, grid_cols=grid_cols, dp=dp
+                    con, oracles[name], sdf.columns, grid_cols=grid_cols,
+                    dp=dp, time_cols=time_cols,
                 )
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"DUCKDB ERROR: {e}"))

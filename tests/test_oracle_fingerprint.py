@@ -229,3 +229,33 @@ def test_fingerprint_grid_off_lattice_counts(spark, duck):
     d_off = _fingerprint_duck(
         duck, f"SELECT {off!r}::DOUBLE AS v", ["v"], grid_cols=["v"], dp=6)
     assert d_on[4] == 0 and d_off[4] == 1
+
+
+def test_fingerprint_timestamp_and_date_columns(spark, duck):
+    """r13: timestamp/date columns fingerprint as exact integers (epoch
+    micros / days-since-epoch) — no format-string parity to trust — and
+    the two engines agree on a matching row and disagree on a changed
+    one."""
+    from scripts.check_oracle import _fp_time_cols
+
+    sdf = spark.sql(
+        "SELECT TIMESTAMP '2024-03-01 12:34:56.789' AS ts, "
+        "DATE '2024-03-01' AS d, 7 AS k"
+    )
+    tc = _fp_time_cols(sdf.schema.fields)
+    assert tc == {"ts": "timestamp", "d": "date"}
+    s = _fingerprint_spark(sdf)
+    d = _fingerprint_duck(
+        duck,
+        "SELECT TIMESTAMP '2024-03-01 12:34:56.789' AS ts, "
+        "DATE '2024-03-01' AS d, 7 AS k",
+        ["ts", "d", "k"], time_cols=tc,
+    )
+    assert (s[0], s[1], s[2]) == (d[0], d[1], d[2])
+    d2 = _fingerprint_duck(
+        duck,
+        "SELECT TIMESTAMP '2024-03-01 12:34:56.790' AS ts, "
+        "DATE '2024-03-01' AS d, 7 AS k",
+        ["ts", "d", "k"], time_cols=tc,
+    )
+    assert (s[1], s[2]) != (d2[1], d2[2])
