@@ -1748,6 +1748,45 @@ def _adaptive_ids(spark: SparkSession, sf_dir: str, force_width: int | None = No
     return e, n, width, s, ids
 
 
+def _adaptive_pair_count(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+    """EXACT distinct candidate-pair count with ZERO pair materialization
+    (r13, VERDICT r12 #4): the n=100M pair list (5.8e8 rows) ENOSPC'd the
+    box twice just being counted (ORACLE_EMB100M_r12.log attempt 4; the
+    r13 ids-only retry with 55 GB free). But the COUNT never needed the
+    pairs: a pair is a candidate iff it collides in ≥1 band, so by
+    inclusion-exclusion over the band set S ⊆ {0..ADAPT_BANDS-1}
+
+        |∪_i A_i| = Σ_{S≠∅} (−1)^{|S|+1} · Σ_{groups by (band_i)_{i∈S}} C(c,2)
+
+    where each inner sum is ONE groupBy-count aggregation over n skinny
+    rows — map-side combined, no join, no pair row ever exists. At
+    ADAPT_BANDS=2 this is three aggregations. Scale shape: O(n) shuffle
+    of (band-key, partial-count) pairs vs O(pairs) for the join — the
+    difference between 3×8 GB and 60+ GB of spill at n=1e8.
+
+    Returns (e, n, width, distinct_pair_count)."""
+    from itertools import combinations
+
+    e, n, width, s = _adaptive_stage(spark, sf_dir, force_width)
+    b = s.select(*_band_exprs(width))
+    names = [f"band{k}" for k in range(ADAPT_BANDS)]
+
+    def _sum_c2(cols: tuple[str, ...]) -> int:
+        row = (
+            b.groupBy(*cols)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("p"))
+            .first()
+        )
+        return int(row["p"] or 0)
+
+    total = 0
+    for size in range(1, ADAPT_BANDS + 1):
+        for subset in combinations(names, size):
+            total += (-1) ** (size + 1) * _sum_c2(subset)
+    return e, n, width, total
+
+
 def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     """Exact verified near-dup pairs (id_a < id_b, cosine ≥ tau) with the
     verify stage's bulk traffic carried as int8 (VERDICT r12 #4: the

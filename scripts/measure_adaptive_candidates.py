@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from restaurant_etl_spark.operators.similarity import (
     ADAPT_BANDS,
     ADAPT_MIN_B,
-    _adaptive_ids,
+    _adaptive_pair_count,
     _quantized_dup_pairs,
 )
 from restaurant_etl_spark.session import get_spark
@@ -51,14 +51,15 @@ def main() -> int:
         # verified output, a data property that any correct dedup must
         # examine) and WASTE (random band collisions — the quantity the
         # adaptive width bounds at Θ(n)): the Θ(n) claim is about waste.
-        # r13 (VERDICT r12 #4): counted via the scale shapes production
-        # uses — pairs from the ids-only bucket join (no vector crosses an
-        # exchange), dups from the int8-prefiltered exact verify (provably
-        # the same count as the all-float verify, tests/test_emb_quantized
-        # .py) — so this measurement survives the n=100M point the float
-        # attach ENOSPC'd on (ORACLE_EMB100M_r12.log attempts 1-3).
-        _e, n, width, _s, ids = _adaptive_ids(spark, d)
-        pairs = ids.count()
+        # r13 (VERDICT r12 #4): counted via shapes that never materialize
+        # the pair list — pairs from the inclusion-exclusion band-group
+        # closed form (three aggregations, zero pair rows; equals
+        # ids.count() exactly, tests/test_emb_quantized.py), dups from
+        # the int8-prefiltered exact verify (provably the same count as
+        # the all-float verify) — so this measurement survives the
+        # n=100M point where even the ids-only pair DISTINCT ENOSPC'd
+        # (ORACLE_EMB100M_r12.log attempt 4; r13 retry at 55 GB free).
+        _e, n, width, pairs = _adaptive_pair_count(spark, d)
         _e2, _n2, _w2, dup = _quantized_dup_pairs(spark, d)
         dups = dup.count()
         old_b = min(16, max(ADAPT_MIN_B, int(n).bit_length()))
@@ -78,8 +79,9 @@ def main() -> int:
         if measure_old and old_b < width:
             # counterfactual: the SAME pipeline pinned to the r7 clamp —
             # measured, not estimated
-            _e3, _n3, _w3, _s3, ids_old = _adaptive_ids(spark, d, force_width=old_b)
-            old_pairs = ids_old.count()
+            _e3, _n3, _w3, old_pairs = _adaptive_pair_count(
+                spark, d, force_width=old_b
+            )
             row["old_clamp_measured_pairs"] = old_pairs
             row["old_clamp_waste_per_vector"] = round((old_pairs - dups) / n, 3)
         print(json.dumps(row), flush=True)

@@ -91,3 +91,17 @@ def test_int_threshold_is_conservative():
     thr = _q_int_threshold(0.3)
     assert thr <= (0.3 - _Q_EPS) * 123.0 * 123.0
     assert thr == 3554  # pinned: a silent constant change shows up here
+
+
+def test_pair_count_closed_form_matches_distinct_join(spark, sf_dir):
+    """The inclusion-exclusion band-group count must equal the
+    materialized DISTINCT pair count exactly — same corpus, same width."""
+    from restaurant_etl_spark.operators.similarity import (
+        _adaptive_ids,
+        _adaptive_pair_count,
+    )
+
+    _e, _n, _w, _s, ids = _adaptive_ids(spark, sf_dir)
+    _e2, _n2, _w2, closed = _adaptive_pair_count(spark, sf_dir)
+    assert closed == ids.count()
+    assert closed > 0
