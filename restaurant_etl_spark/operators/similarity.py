@@ -1676,6 +1676,22 @@ def _band_exprs(width: int) -> list[Column]:
     ]
 
 
+def _sig_bands_frame(s: DataFrame, width: int, extra_cols: tuple = ("vec_id",)) -> DataFrame:
+    """``extra_cols`` + band0..band{k-1} with ``sig`` materialized ONCE
+    per row behind a unit Generate barrier. Without the barrier,
+    CollapseProject inlines the 4096-literal signature expression into
+    every fold step of each band aggregate (interpreted HOFs have no
+    subexpression elimination): measured ~0.5 ms/row at the old shape and
+    >10× that once a groupBy re-evaluates its keys — the n=1e8 pair-count
+    stage sat at 0/256 tasks for an hour. Behind the barrier the fold does
+    27 element_at calls on an already-computed array."""
+    return (
+        s.select(*extra_cols, "sig")
+        .withColumn("_u", F.explode(F.array(F.lit(1))))
+        .select(*extra_cols, *_band_exprs(width))
+    )
+
+
 #: Conservative quantized-cosine slack (VERDICT r12 #4): q = round(127·u)
 #: of a unit vector u deviates by ‖q − 127u‖₂ ≤ 0.5·√DIM, so the angle
 #: between q and u is at most asin(0.5√DIM / (127 − 0.5√DIM)), and the
@@ -1727,8 +1743,11 @@ def _adaptive_ids(spark: SparkSession, sf_dir: str, force_width: int | None = No
     DISTINCT. This is the cheapest way to COUNT candidates (the waste
     row's ``pairs`` column) — no vector ever crosses an exchange."""
     e, n, width, s = _adaptive_stage(spark, sf_dir, force_width)
-    bands = s.select(
-        "vec_id", F.posexplode(F.array(*_band_exprs(width))).alias("band_idx", "band")
+    bands = _sig_bands_frame(s, width).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(ADAPT_BANDS)])
+        ).alias("band_idx", "band"),
     )
     left = bands.alias("a")
     right = bands.alias("b")
@@ -1768,7 +1787,7 @@ def _adaptive_pair_count(spark: SparkSession, sf_dir: str, force_width: int | No
     from itertools import combinations
 
     e, n, width, s = _adaptive_stage(spark, sf_dir, force_width)
-    b = s.select(*_band_exprs(width))
+    b = _sig_bands_frame(s, width, extra_cols=())
     names = [f"band{k}" for k in range(ADAPT_BANDS)]
 
     def _sum_c2(cols: tuple[str, ...]) -> int:
@@ -1813,11 +1832,14 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     Returns (e, n, width, dup) where dup has columns (id_a, id_b)."""
     e, n, width, s = _adaptive_stage(spark, sf_dir)
     bq = (
-        s.select(
+        _sig_bands_frame(s, width, extra_cols=("vec_id", "v", "nrm"))
+        .select(
             "vec_id",
             "v",
             "nrm",
-            F.posexplode(F.array(*_band_exprs(width))).alias("band_idx", "band"),
+            F.posexplode(
+                F.array(*[F.col(f"band{k}") for k in range(ADAPT_BANDS)])
+            ).alias("band_idx", "band"),
         )
         .withColumn("q", F.expr(_Q_EXPR))
         .select("vec_id", "q", "band_idx", "band")
