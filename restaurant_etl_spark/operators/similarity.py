@@ -723,10 +723,15 @@ KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
     ),
     dup AS (
+        -- zero-norm guard (ADVICE r13): 0/0 -> NaN compares >= 0.3 in
+        -- both engines, but the engine's int8 path drops zero-vector
+        -- pairs (qdot = 0); the guard makes every path agree that a
+        -- pair with a zero-norm side is not a dup.
         SELECT id_a, id_b FROM cand
         JOIN s sa ON sa.vec_id = cand.id_a
         JOIN s sb ON sb.vec_id = cand.id_b
-        WHERE {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
+        WHERE sa.nrm * sb.nrm > 0
+          AND {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
     )
     SELECT e.vec_id,
            coalesce(min(d.id_a), e.vec_id) AS canonical_id,
@@ -797,7 +802,12 @@ def dedup_embedding_keep_fixedband(spark: SparkSession, sf_dir: str) -> DataFram
     dup = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(_dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= 0.3)
+        # try_divide (ADVICE r13): a zero-norm pair's 0/0 errors under
+        # ANSI; NULL >= 0.3 drops it instead, matching the guarded oracle
+        .filter(
+            F.try_divide(_dot(_dvec("va"), _dvec("vb")), F.col("na") * F.col("nb"))
+            >= 0.3
+        )
         .select("id_a", "id_b")
     )
     return (
@@ -1582,10 +1592,15 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
     ),
     dup AS (
+        -- zero-norm guard (ADVICE r13): 0/0 -> NaN compares >= 0.3 in
+        -- both engines, but the engine's int8 path drops zero-vector
+        -- pairs (qdot = 0); the guard makes every path agree that a
+        -- pair with a zero-norm side is not a dup.
         SELECT id_a, id_b FROM cand
         JOIN s sa ON sa.vec_id = cand.id_a
         JOIN s sb ON sb.vec_id = cand.id_b
-        WHERE {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
+        WHERE sa.nrm * sb.nrm > 0
+          AND {_DUCK_DOT.format(a='sa.v', b='sb.v')} / (sa.nrm * sb.nrm) >= 0.3
     )
     SELECT e.vec_id,
            coalesce(min(d.id_a), e.vec_id) AS canonical_id,
@@ -1631,11 +1646,15 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside buckets, min-id canonical per vector — one keep/drop row per
     vector.
 
-    Verify traffic (r13, VERDICT r12 #4): the bucket join and prefilter
-    carry int8-quantized vectors; only prefilter survivors re-fetch
-    floats for the exact ≥ 0.3 check (see :func:`_quantized_dup_pairs`
-    — provably the same dup set, ~4-8× less verify-stage shuffle: the
-    stage that measured ~160 GB at n=100M against 39 GB of scratch)."""
+    Verify traffic (r13/r14, VERDICT r12 #4 / r13 #1): the bucket join
+    and prefilter carry int8-quantized vectors, and a TWO-SIDED integer
+    bound settles all but a thin margin of survivors without any float
+    arithmetic — integer-certain dups pass directly, only the margin
+    (quantized cosine within ±_Q_EPS of the threshold) re-checks on
+    floats, fetched via broadcast so the float relation never crosses an
+    exchange (see :func:`_quantized_dup_pairs` — provably the same dup
+    set; replaces the ~160 GB float-verify shuffle that walled n=100M at
+    r12 and the ~56 GB survivor re-fetch that walled it at r13)."""
     e, _n, _width, dup = _quantized_dup_pairs(spark, sf_dir, tau=0.3)
     return (
         e.join(dup, e.vec_id == dup.id_b, "left")
@@ -1725,6 +1744,12 @@ _QDOT_EXPR = (
 #: ‖δ‖ ≤ 0.5·√DIM, so ‖q‖ ≥ 127 − 0.5·√DIM (= 123 at DIM=64)
 _Q_NORM_LO = 127.0 - 0.5 * math.sqrt(DIM)
 
+#: largest possible ‖q‖ (triangle inequality on the same decomposition):
+#: ‖q‖ ≤ 127 + 0.5·√DIM (= 131 at DIM=64). The zero vector (q = 0) is
+#: the one exception to the decomposition and trivially satisfies both
+#: uses below (its qdot with anything is 0).
+_Q_NORM_HI = 127.0 + 0.5 * math.sqrt(DIM)
+
 
 def _q_int_threshold(tau: float) -> int:
     """Pure-integer prefilter threshold: true cosine ≥ tau implies
@@ -1735,6 +1760,21 @@ def _q_int_threshold(tau: float) -> int:
     slack = tau - _Q_EPS
     assert slack > 0, f"tau={tau} must exceed the quantization slack {_Q_EPS}"
     return int(math.floor(slack * _Q_NORM_LO * _Q_NORM_LO))
+
+
+def _q_int_threshold_hi(tau: float) -> int:
+    """Pure-integer DEFINITE-dup threshold — the upper side of the
+    two-sided quantized bound (r14): qdot ≥ ceil((tau + _Q_EPS)·_Q_NORM_HI²)
+    implies quantized cosine qdot/(‖qa‖‖qb‖) ≥ (tau + _Q_EPS)·_Q_NORM_HI²
+    / (‖qa‖‖qb‖) ≥ tau + _Q_EPS (norms are ≤ _Q_NORM_HI), and the
+    Lipschitz slack then gives TRUE cosine ≥ tau — no float arithmetic
+    ever needs to confirm such a pair. ceil() keeps the claim
+    conservative. Requires tau + _Q_EPS < 1 (asserted): above that no
+    pair could ever be integer-certain and the margin would be the whole
+    survivor set."""
+    hi = tau + _Q_EPS
+    assert hi < 1.0, f"tau={tau} + slack {_Q_EPS} leaves no certain region"
+    return int(math.ceil(hi * _Q_NORM_HI * _Q_NORM_HI))
 
 
 def _adaptive_ids(spark: SparkSession, sf_dir: str, force_width: int | None = None):
@@ -1810,19 +1850,45 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     """Exact verified near-dup pairs (id_a < id_b, cosine ≥ tau) with the
     verify stage's bulk traffic carried as int8 (VERDICT r12 #4: the
     n=100M keep-list's float-vector verify needed ~160 GB of shuffle
-    against 39 GB of scratch — ORACLE_EMB100M_r12.log).
+    against 39 GB of scratch — ORACLE_EMB100M_r12.log), and — since r14
+    — a TWO-SIDED integer bound so that only a thin MARGIN of survivors
+    ever touches float arithmetic at all. r13's one-sided shape still
+    re-fetched floats for EVERY survivor via two shuffle joins of the
+    full float relation (~56 GB at n=100M — the stage all three r13
+    n=100M attempts ENOSPC'd on); the two-sided bound removes that
+    stage's dependence on n entirely.
 
     Shape: the band relation itself carries the int8-quantized vector
     (DIM bytes vs DIM·4B float + array overhead), the bucket self-join
     reuses ONE exchange of it (self-join → ReusedExchange), and the
     PURE-INTEGER prefilter ``qdot ≥ _q_int_threshold(tau)`` runs
     PIPELINED on the join output — no extra shuffle, no per-row norm,
-    no division. Only its survivors (≈ the true near-dups, a vanishing
-    fraction of band collisions) are DISTINCT'd and re-joined to the
-    float vectors for the exact ≥ tau verify; AQE broadcasts the tiny
-    survivor set, so the full float relation never shuffles at all. The
-    prefilter is provably lossless (see _Q_EPS / _q_int_threshold), so
-    the returned pair set is byte-identical to the all-float verify.
+    no division. Survivors are DISTINCT'd carrying one deterministic
+    bit: ``definite = qdot ≥ _q_int_threshold_hi(tau)``. By the
+    two-sided Lipschitz bound (_Q_EPS):
+
+      * qdot ≥ hi-threshold  ⇒ true cosine ≥ tau — a PROVEN dup, no
+        float check needed (in the wrap-duplicate corpora this is the
+        overwhelming mass of true dups, which sit near cosine 1);
+      * qdot < lo-threshold  ⇒ true cosine < tau — already dropped;
+      * the margin in between (quantized cosine within ±_Q_EPS of tau,
+        a 2·_Q_EPS ≈ 0.13-wide annulus that only borderline pairs
+        occupy) is exactly verified on floats.
+
+    The margin pair set is BROADCAST to the float relation (explicitly
+    — two map-side joins), so the float vectors stream from the parquet
+    scan and NEVER cross an exchange: the verify stage's shuffle volume
+    is O(margin), not O(n) and not O(survivors). Both thresholds are
+    conservative, so the returned pair set is byte-identical to the
+    all-float verify (pinned end-to-end plus adversarially at the
+    margin in tests/test_emb_quantized.py).
+
+    Zero-norm embeddings (ADVICE r13): a zero vector quantizes to q = 0,
+    whose qdot with anything is 0 — below every lo-threshold — so the
+    integer path drops its pairs; the float margin verify guards
+    ``na·nb > 0`` (as does the DuckDB oracle) so a 0/0 → NaN cosine can
+    never resurrect them in either engine. All paths agree: pairs with a
+    zero-norm side are not dups.
 
     Plan note: quantization happens AFTER posexplode (2× per vector, a
     few interpreted array ops) — computing it below the Generate lets
@@ -1846,6 +1912,9 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     )
     a = bq.alias("a")
     b = bq.alias("b")
+    # qdot is a pure function of the PAIR, so (id_a, id_b, definite) is
+    # deterministic per pair and the 3-column DISTINCT dedups band
+    # collisions exactly like the old pair DISTINCT did.
     pre = (
         a.join(
             b,
@@ -1853,18 +1922,39 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.expr(_QDOT_EXPR) >= F.lit(_q_int_threshold(tau)))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .withColumn("qdot", F.expr(_QDOT_EXPR))
+        .filter(F.col("qdot") >= F.lit(_q_int_threshold(tau)))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.col("qdot") >= F.lit(_q_int_threshold_hi(tau))).alias("definite"),
+        )
         .distinct()
     )
-    sa = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    sb = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dup = (
-        pre.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(_dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= tau)
+    definite = pre.filter(F.col("definite")).select("id_a", "id_b")
+    margin = pre.filter(~F.col("definite")).select("id_a", "id_b")
+    # Exact float verify of the margin only — margin pairs broadcast, the
+    # float relation streams from its scan (sig projected away so the
+    # signature expression never evaluates here).
+    sv = s.select("vec_id", "v", "nrm")
+    m1 = sv.join(F.broadcast(margin), sv.vec_id == margin.id_a).select(
+        "id_a", "id_b", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    verified = (
+        sv.join(F.broadcast(m1), sv.vec_id == m1.id_b)
+        # try_divide, not a bare /: ANSI mode ERRORS on the 0/0 a
+        # zero-norm pair produces (a crash at scale, not a wrong row);
+        # NULL >= tau is NULL -> the pair drops, agreeing with the int8
+        # path and the guarded oracle. A plain `guard & (a/b >= tau)`
+        # conjunction is NOT safe here - Spark predicates don't
+        # short-circuit, so the division may still evaluate.
+        .filter(
+            F.try_divide(_dot(_dvec("va"), _dvec("v")), F.col("na") * F.col("nrm"))
+            >= tau
+        )
         .select("id_a", "id_b")
     )
+    dup = definite.unionAll(verified)
     return e, n, width, dup
 
 

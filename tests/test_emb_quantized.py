@@ -105,3 +105,204 @@ def test_pair_count_closed_form_matches_distinct_join(spark, sf_dir):
     _e2, _n2, _w2, closed = _adaptive_pair_count(spark, sf_dir)
     assert closed == ids.count()
     assert closed > 0
+
+
+def test_hi_threshold_is_conservative():
+    """The definite-dup threshold must never fall below
+    (tau + _Q_EPS)·‖qa‖‖qb‖ for any reachable norms, i.e. it uses the
+    norm CEILING — and the bound math pins to the constants."""
+    from restaurant_etl_spark.operators.similarity import (
+        _Q_NORM_HI,
+        _q_int_threshold_hi,
+    )
+
+    assert _Q_NORM_HI == 131.0
+    thr = _q_int_threshold_hi(0.3)
+    assert thr >= (0.3 + _Q_EPS) * 131.0 * 131.0
+    assert thr == 6265  # pinned: a silent constant change shows up here
+
+
+def test_definite_implies_true_dup():
+    """The upper bound itself, adversarially: any pair whose integer qdot
+    reaches the hi threshold has TRUE cosine ≥ tau — across random,
+    near-parallel and near-boundary ensembles (the proof's empirical
+    twin; a violation here would mean the definite branch ships a false
+    dup without ever checking floats)."""
+    from restaurant_etl_spark.operators.similarity import _q_int_threshold_hi
+
+    rng = np.random.default_rng(271828)
+    thr = _q_int_threshold_hi(0.3)
+    checked = 0
+    for _ in range(4000):
+        a = rng.standard_normal(64)
+        mode = rng.integers(3)
+        if mode == 0:
+            b = rng.standard_normal(64)
+        elif mode == 1:
+            b = a + 0.05 * rng.standard_normal(64)
+        else:  # engineered just above the certainty boundary
+            c = rng.standard_normal(64)
+            c -= (c @ a) / (a @ a) * a
+            t = 0.3 + _Q_EPS + 0.01 * rng.random()
+            b = t * a / np.linalg.norm(a) + np.sqrt(1 - t * t) * c / np.linalg.norm(c)
+        ua, ub = a / np.linalg.norm(a), b / np.linalg.norm(b)
+        qa, qb = np.round(127 * ua), np.round(127 * ub)
+        if float(qa @ qb) >= thr:
+            checked += 1
+            assert float(ua @ ub) >= 0.3
+    assert checked > 200, "ensemble never reached the definite region — vacuous"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial MARGIN corpus: engineered pairs that share the full 64-bit
+# hyperplane signature (guaranteed band collision at any width) with true
+# cosine sitting just above / just below tau, so the two-sided bound's
+# float-margin branch is actually exercised — plus a zero-norm vector
+# whose NaN cosine the guard must keep out of the dup set (ADVICE r13).
+# ---------------------------------------------------------------------------
+
+
+def _np_f32(v):
+    """The engine's value domain: parquet stores float32, both engines
+    then widen to double."""
+    return np.asarray(v, dtype=np.float32).astype(np.float64)
+
+
+def _np_quant(v):
+    """Replicate _Q_EXPR: round(127·x/‖v‖) HALF-UP (Spark round), clamped
+    to ±127, zeros for the zero vector."""
+    v = _np_f32(v)
+    nrm = float(np.sqrt((v * v).sum()))
+    if nrm == 0.0:
+        return np.zeros_like(v)
+    x = 127.0 * v / nrm
+    return np.clip(np.sign(x) * np.floor(np.abs(x) + 0.5), -127.0, 127.0)
+
+
+def _np_cos(a, b):
+    a, b = _np_f32(a), _np_f32(b)
+    na, nb = np.sqrt((a * a).sum()), np.sqrt((b * b).sum())
+    return float((a * b).sum() / (na * nb)) if na * nb > 0 else float("nan")
+
+
+def _cone_pair(rng, H, Hinv, target, lo_q, hi_q, want_above):
+    """A pair (a, b) with identical 64-bit signatures — b is built inside
+    a's signature cone {x : H·x = diag(s)·y, y > 0}, so collision in both
+    bands is by construction, not luck — whose float32 cosine lands on
+    the requested side of 0.3 AND whose integer qdot lands strictly
+    inside the margin [lo_q, hi_q)."""
+    for _ in range(200):
+        a = rng.standard_normal(64)
+        ha = H @ a
+        if (ha == 0).any():
+            continue
+        s, ya = np.sign(ha), np.abs(ha)
+        yb = rng.random(64) + 1e-3
+
+        def vec(t):
+            return Hinv @ (s * ((1 - t) * ya + t * yb))
+
+        if _np_cos(a, vec(1.0)) > target - 0.05:
+            continue
+        lo_t, hi_t = 0.0, 1.0
+        for _ in range(60):
+            mid = 0.5 * (lo_t + hi_t)
+            if _np_cos(a, vec(mid)) > target:
+                lo_t = mid
+            else:
+                hi_t = mid
+        b = vec(0.5 * (lo_t + hi_t))
+        cos32 = _np_cos(a, b)
+        qdot = float(_np_quant(a) @ _np_quant(b))
+        in_margin = lo_q <= qdot < hi_q
+        side_ok = (cos32 >= 0.3) if want_above else (cos32 < 0.3)
+        # construction must also be robust to the float32 round-trip: no
+        # sign may flip once stored (re-check on the stored values)
+        sig_a = (H @ _np_f32(a)) > 0
+        sig_b = (H @ _np_f32(b)) > 0
+        if in_margin and side_ok and (sig_a == sig_b).all():
+            return a, b
+    raise AssertionError("cone construction failed to land in the margin")
+
+
+def test_two_sided_margin_end_to_end(spark, tmp_path):
+    from restaurant_etl_spark.operators.similarity import (
+        _adaptive_cand,
+        _hyperplanes,
+        _q_int_threshold,
+        _q_int_threshold_hi,
+    )
+
+    H = np.array(_hyperplanes(64), dtype=np.float64)
+    Hinv = np.linalg.inv(H)
+    rng = np.random.default_rng(1234)
+    lo_q, hi_q = _q_int_threshold(0.3), _q_int_threshold_hi(0.3)
+
+    rows, pairs = [], {}
+    next_id = 0
+
+    def add_pair(kind, a, b):
+        nonlocal next_id
+        ia, ib = next_id, next_id + 1
+        next_id += 2
+        rows.append((ia, [float(x) for x in np.asarray(a, dtype=np.float32)]))
+        rows.append((ib, [float(x) for x in np.asarray(b, dtype=np.float32)]))
+        pairs.setdefault(kind, []).append((ia, ib))
+
+    # margin pairs on both sides of tau (2 each), engineered to collide
+    for _ in range(2):
+        add_pair("margin_dup", *_cone_pair(rng, H, Hinv, 0.305, lo_q, hi_q, True))
+        add_pair("margin_rej", *_cone_pair(rng, H, Hinv, 0.295, lo_q, hi_q, False))
+    # a definite dup (near-parallel: integer-certain, no float check)
+    a = rng.standard_normal(64)
+    b = a + 0.02 * rng.standard_normal(64)
+    assert float(_np_quant(a) @ _np_quant(b)) >= hi_q
+    add_pair("definite", a, b)
+    # a colliding pair the integer prefilter must drop outright
+    add_pair("prefilter_rej", *_cone_pair(rng, H, Hinv, 0.10, -np.inf, lo_q, False))
+    # the zero-norm NaN hole (ADVICE r13): the zero vector signs to the
+    # all-zeros signature; w with H·w < 0 elementwise does too — they
+    # collide, their float cosine is 0/0 = NaN, and NaN >= 0.3 is TRUE in
+    # both engines, so only the explicit na·nb > 0 guard keeps them out.
+    w = Hinv @ (-(rng.random(64) + 1e-3))
+    assert not ((H @ _np_f32(w)) > 0).any()
+    add_pair("zero_nan", np.zeros(64), w)
+    # isotropic filler so the corpus isn't only engineered structure
+    for _ in range(100):
+        rows.append((next_id, [float(x) for x in rng.standard_normal(64).astype(np.float32)]))
+        next_id += 1
+
+    d = str(tmp_path / "margin_corpus")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(d + "/embeddings.parquet")
+
+    _e, _n, _w, dup_q = _quantized_dup_pairs(spark, d, tau=0.3)
+    got = {(r.id_a, r.id_b) for r in dup_q.collect()}
+
+    # ground truth: the all-float verify, ANSI-safe (try_divide drops the
+    # zero-norm pair exactly like the production margin verify does)
+    _e2, _n2, _w2, cand = _adaptive_cand(spark, d)
+    truth_df = cand.filter(
+        F.try_divide(_dot(_dvec("va"), _dvec("vb")), F.col("na") * F.col("nb")) >= 0.3
+    ).select("id_a", "id_b")
+    truth = {(r.id_a, r.id_b) for r in truth_df.collect()}
+    assert got == truth
+
+    norm = lambda p: (min(p), max(p))
+    for p in pairs["margin_dup"] + pairs["definite"]:
+        assert norm(p) in got, f"true dup {p} missing"
+    for p in pairs["margin_rej"] + pairs["prefilter_rej"] + pairs["zero_nan"]:
+        assert norm(p) not in got, f"non-dup {p} leaked into the keep-list"
+
+    # and the hole is REAL: without the guard, a bare float division on
+    # the zero-norm pair is a DIVIDE_BY_ZERO crash under ANSI mode (the
+    # r13 shape would have died mid-run at scale, not produced a wrong
+    # row) — proving try_divide is what closes it, not luck
+    import pytest
+
+    unguarded = cand.filter(
+        _dot(_dvec("va"), _dvec("vb")) / (F.col("na") * F.col("nb")) >= 0.3
+    ).select("id_a", "id_b")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        unguarded.collect()
