@@ -133,39 +133,100 @@ def _previous_round_queries(sf: float | None) -> dict[str, float]:
 
 def _tag_baseline_rev() -> str | None:
     """Resolve the previous round's commit: SPARK_GRAFT_TAG_BASELINE if it
-    names a rev, else the commit that last touched the newest committed
-    BENCH_r*.json (the round-artifact commit — this repo's 'tag')."""
+    names a rev, else the commit that last touched the newest COMMITTED
+    BENCH_r*.json (the round-artifact commit — this repo's 'tag').
+
+    ADVICE r13: the newest artifact in the working tree is often the
+    current round's UNCOMMITTED one — `git log -1 -- <it>` is empty and
+    returning None here silently disabled the whole protocol in exactly
+    the state it was built for. Walk candidates newest-first and take the
+    first that actually has a commit."""
     env = os.environ.get("SPARK_GRAFT_TAG_BASELINE", "auto")
     if env in ("off", "0", "none", ""):
         return None
+    if env != "auto":
+        return env
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    if env != "auto":
-        rev = env
-    else:
-        cands = sorted(
-            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r(\d+)\.json", f)
-        )
-        if not cands:
-            return None
-        newest = max(cands, key=lambda f: int(re.findall(r"\d+", f)[0]))
+    cands = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r(\d+)\.json", f)),
+        key=lambda f: int(re.findall(r"\d+", f)[0]),
+        reverse=True,
+    )
+    for cand in cands:
         rev = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--", newest],
+            ["git", "log", "-1", "--format=%H", "--", cand],
             cwd=here, capture_output=True, text=True,
         ).stdout.strip()
-    return rev or None
+        if rev:
+            return rev
+    return None
+
+
+def _parse_child_metrics(stdout: str) -> tuple[dict | None, str | None]:
+    """Extract the compact metrics line from a child bench run. ADVICE
+    r13: 'last line starting with {' made one stray diagnostic line (or a
+    truncated final line) discard an hour of measurement via the broad
+    except. Instead try to parse every line from the end and accept only
+    a dict that self-identifies as the headline metric; on failure return
+    the raw output tail so the error record keeps the evidence."""
+    for line in reversed(stdout.splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(doc, dict) and doc.get("metric") == "headline_total":
+            return doc, None
+    return None, stdout[-300:]
+
+
+def _run_child_bench(bench_dir: str, timeout: int = 3600) -> dict:
+    """Run ``{bench_dir}/bench.py`` as a FRESH child process against the
+    same corpus and return its compact metrics — the shared measurement
+    primitive for both arms of the same-boot comparison (tag worktree and
+    HEAD). The child skips its own envelope/tag machinery (no recursion,
+    no stale-artifact triage); the caller guarantees the parent Spark
+    session is stopped so the child measures on an uncontended box.
+    Returns {steady_total, cold_total, queries} or {"error": ...} —
+    never raises."""
+    import subprocess
+
+    try:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_TAG_BASELINE"] = "off"  # no recursion
+        env["SPARK_GRAFT_PREV_BENCH"] = "/dev/null"  # no triage in children
+        proc = subprocess.run(
+            [sys.executable, os.path.join(bench_dir, "bench.py")],
+            cwd=bench_dir, env=env, capture_output=True, text=True,
+            timeout=timeout,
+        )
+        doc, tail = _parse_child_metrics(proc.stdout)
+        if doc is None:
+            return {"error": f"no metrics line (rc={proc.returncode}); "
+                             f"stdout tail: {tail!r}; "
+                             f"stderr tail: {proc.stderr[-200:]!r}"}
+        return {
+            "steady_total": doc.get("value"),
+            "cold_total": doc.get("cold_total"),
+            "queries": doc.get("queries", {}),
+        }
+    except Exception as exc:  # noqa: BLE001 — baseline is advisory
+        return {"error": f"{type(exc).__name__}: {exc}"}
 
 
 def _run_tag_baseline(rev: str) -> dict:
     """Same-boot whole-suite re-measurement at the previous round's commit
     (VERDICT r12 #6): check out ``rev`` into a throwaway git worktree and
-    run ITS bench.py as a child process against the same corpus. Because
-    it runs in THIS session, any difference between the prior round's
-    committed artifact and this reading is environment (the box drifts
-    ~15% between boots — SCALING.md r11/r12 notes); any difference between
-    this reading and HEAD's reading is code. Returns the child's compact
-    metrics plus the rev, or an {"error": ...} record — never raises."""
+    run ITS bench.py via :func:`_run_child_bench`. Because it runs in
+    THIS session, any difference between the prior round's committed
+    artifact and this reading is environment (the box drifts ~15% between
+    boots — SCALING.md r11/r12 notes); the code-vs-environment verdict
+    then compares this against the HEAD fresh-child reading — child to
+    child, same boot, same protocol (VERDICT r13 #2)."""
     import subprocess
     import tempfile
 
@@ -176,26 +237,7 @@ def _run_tag_baseline(rev: str) -> dict:
             ["git", "worktree", "add", "--detach", wt, rev],
             cwd=here, capture_output=True, text=True, check=True,
         )
-        env = dict(os.environ)
-        env["SPARK_GRAFT_TAG_BASELINE"] = "off"  # no recursion
-        env.pop("SPARK_GRAFT_PREV_BENCH", None)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(wt, "bench.py")],
-            cwd=wt, env=env, capture_output=True, text=True, timeout=3600,
-        )
-        for line in reversed(proc.stdout.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                doc = json.loads(line)
-                return {
-                    "rev": rev[:12],
-                    "steady_total": doc.get("value"),
-                    "cold_total": doc.get("cold_total"),
-                    "queries": doc.get("queries", {}),
-                }
-        return {"rev": rev[:12],
-                "error": f"no JSON line (rc={proc.returncode}): "
-                         f"{proc.stderr[-300:]}"}
+        return {"rev": rev[:12], **_run_child_bench(wt)}
     except Exception as exc:  # noqa: BLE001 — baseline is advisory
         return {"rev": rev[:12], "error": f"{type(exc).__name__}: {exc}"}
     finally:
@@ -204,6 +246,53 @@ def _run_tag_baseline(rev: str) -> dict:
         subprocess.run(["git", "worktree", "remove", "--force", wt],
                        cwd=here, capture_output=True, text=True)
         shutil.rmtree(wt, ignore_errors=True)
+
+
+#: out-of-band delta triage noise band, seconds (established r8)
+ENVELOPE_BAND = 0.100
+
+
+def _apply_tag_verdicts(
+    envelopes: dict,
+    flagged: list[str],
+    tag_baseline: dict,
+    head_fresh: dict,
+    timings: dict,
+) -> None:
+    """Child-to-child code-vs-environment verdicts for flagged queries
+    (VERDICT r13 #2). Mutates ``envelopes`` (verdict + evidence keys) and
+    ``timings`` (flagged queries publish the HEAD fresh-child reading —
+    the in-session number that tripped the flag came from a session state
+    the comparison just found suspect)."""
+    tag_q = tag_baseline.get("queries", {})
+    head_q = head_fresh.get("queries", {})
+    for name in flagged:
+        tq = tag_q.get(name)
+        hq = head_q.get(name)
+        if hq is not None:
+            envelopes[name]["head_fresh"] = hq
+            envelopes[name]["published"] = "head_fresh_child"
+            envelopes[name]["in_session_now"] = timings[name]
+            timings[name] = hq
+        if tq is None or not tq:
+            envelopes[name]["tag_classification"] = "no_tag_reading"
+            continue
+        envelopes[name]["tag_now"] = tq
+        # same-boot code effect, CHILD-TO-CHILD: HEAD fresh-child vs tag
+        # fresh-child on identical iron and identical protocol. Within
+        # the noise band → the code didn't move it, so the cross-round
+        # delta is the environment. Falls back to the in-session reading
+        # (recorded as such) only if the HEAD child failed outright.
+        basis = hq if hq is not None else envelopes[name]["now"]
+        envelopes[name]["tag_basis"] = (
+            "head_fresh_child" if hq is not None else "head_in_session"
+        )
+        code_delta = abs(basis - tq)
+        envelopes[name]["tag_classification"] = (
+            "environment"
+            if code_delta <= max(ENVELOPE_BAND, 0.15 * tq)
+            else "code_change"
+        )
 
 
 def main() -> int:
@@ -322,7 +411,6 @@ def main() -> int:
     # q9/q7-style investigations (judge-side in r7/r8) into the bench
     # protocol itself. The deep cross-JVM tool (scripts/
     # bench_query_envelope.py) remains the escalation for "outside_envelope".
-    ENVELOPE_BAND = 0.100  # seconds, the established noise band
     envelopes: dict[str, dict] = {}
     prev_queries = _previous_round_queries(sf)
     for name, now in timings.items():
@@ -359,6 +447,19 @@ def main() -> int:
             ),
             **({"rerun_error": rerun_err} if rerun_err else {}),
         }
+        # VERDICT r13 #2 (tail): a query classified run_variance publishes
+        # the POOLED median — the first batch's median was, by this very
+        # classification, an outlier draw from the same distribution, and
+        # publishing it as "the" number is how a noise spike poisons the
+        # next round's baseline.
+        if envelopes[name]["classification"] == "run_variance":
+            pooled_median = round(statistics.median(pool), 3)
+            envelopes[name]["published"] = "pooled_median"
+            envelopes[name]["first_batch_median"] = timings[name]
+            timings[name] = pooled_median
+            stats[name]["median"] = pooled_median
+            stats[name]["min"], stats[name]["max"] = lo, hi
+            stats[name]["n"] = len(pool)
 
     calibration: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_CALIBRATION") == "1":
@@ -380,12 +481,20 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
-    # Tag-matched baseline (VERDICT r12 #6): if any query classified
-    # outside_envelope, re-measure the WHOLE suite at the previous round's
-    # commit in THIS boot, so drift classification lives in the artifact
-    # instead of a later manual session. The parent Spark session stops
-    # first: the child must measure on an uncontended box.
+    # Tag-matched baseline (VERDICT r12 #6, made SYMMETRIC by VERDICT r13
+    # #2): if any query classified outside_envelope, re-measure the WHOLE
+    # suite at the previous round's commit AND at HEAD, each in its own
+    # fresh child process in THIS boot, so drift classification lives in
+    # the artifact instead of a later manual session. The r13 protocol
+    # compared a fresh-child tag reading against HEAD's possibly-degraded
+    # IN-SESSION medians — on a drifted session that asymmetry stamps
+    # untouched code `code_change` (the driver's r13 artifact would have
+    # flagged cdc/BPE, which the r13 diff never touched). Both arms now
+    # run child-to-child on an uncontended box (the parent Spark session
+    # stops first), and HEAD's published numbers for flagged queries are
+    # repaired to the fresh-child readings.
     tag_baseline: dict | None = None
+    head_fresh: dict | None = None
     flagged = [n for n, e in envelopes.items()
                if e["classification"] == "outside_envelope"]
     if flagged:
@@ -393,23 +502,10 @@ def main() -> int:
         if rev:
             spark.stop()
             tag_baseline = _run_tag_baseline(rev)
-            tag_q = tag_baseline.get("queries", {})
-            for name in flagged:
-                tq = tag_q.get(name)
-                if tq is None or not tq:
-                    envelopes[name]["tag_classification"] = "no_tag_reading"
-                    continue
-                now = envelopes[name]["now"]
-                envelopes[name]["tag_now"] = tq
-                # same-boot code effect: HEAD vs tag on identical iron.
-                # Within the noise band → the code didn't move it, so the
-                # cross-round delta is the environment.
-                code_delta = abs(now - tq)
-                envelopes[name]["tag_classification"] = (
-                    "environment"
-                    if code_delta <= max(ENVELOPE_BAND, 0.15 * tq)
-                    else "code_change"
-                )
+            here = os.path.dirname(os.path.abspath(__file__))
+            head_fresh = _run_child_bench(here)
+            _apply_tag_verdicts(envelopes, flagged, tag_baseline,
+                                head_fresh, timings)
 
     total = round(sum(timings.values()), 3)
     # Full detail (per-query min/median/max envelopes + cold timings) goes to
@@ -436,6 +532,7 @@ def main() -> int:
         "calibration": calibration,
         "envelopes": envelopes,
         "tag_baseline": tag_baseline,
+        "head_fresh": head_fresh,
         "errors": errors,
         "sf": sf,
     }
@@ -467,6 +564,12 @@ def main() -> int:
             "steady_total": tag_baseline.get("steady_total"),
             **({"error": tag_baseline["error"][:120]}
                if "error" in tag_baseline else {}),
+        }
+    if head_fresh is not None:
+        compact["head_fresh"] = {
+            "steady_total": head_fresh.get("steady_total"),
+            **({"error": head_fresh["error"][:120]}
+               if "error" in head_fresh else {}),
         }
     line = json.dumps(compact)
     if len(line) > 1950:  # belt-and-braces: never overflow the tail window

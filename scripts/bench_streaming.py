@@ -459,6 +459,7 @@ def _tag_baseline(vs_prev: dict | None, sf_dir: str) -> dict | None:
     env_rev = os.environ.get("SPARK_GRAFT_TAG_BASELINE", "auto")
     if env_rev in ("off", "0", "none", ""):
         return None
+    import re
     import subprocess
     import tempfile
 
@@ -466,13 +467,27 @@ def _tag_baseline(vs_prev: dict | None, sf_dir: str) -> dict | None:
     if env_rev != "auto":
         rev = env_rev
     else:
-        rev = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--",
-             os.path.basename(_newest_prev_artifact())],
-            cwd=here, capture_output=True, text=True,
-        ).stdout.strip()
+        # ADVICE r13: the newest artifact may be this round's UNCOMMITTED
+        # one (git log empty) — walk candidates newest-first and take the
+        # first with a commit instead of silently no-op'ing the baseline.
+        rev = ""
+        arts = sorted(
+            (f for f in os.listdir(here)
+             if re.fullmatch(r"STREAMING_BENCH_r(\d+)\.json", f)),
+            key=lambda f: int(re.findall(r"\d+", f)[0]),
+            reverse=True,
+        )
+        for art in arts:
+            rev = subprocess.run(
+                ["git", "log", "-1", "--format=%H", "--", art],
+                cwd=here, capture_output=True, text=True,
+            ).stdout.strip()
+            if rev:
+                break
     if not rev:
-        return None
+        # record the failure in the artifact instead of a silent None
+        return {"error": "rev unresolved: no committed STREAMING_BENCH_r*.json "
+                         "(or git log unavailable)"}
     out: dict = {"rev": rev[:12], "workloads": {}}
     wt = tempfile.mkdtemp(prefix="stream_tag_")
     try:
