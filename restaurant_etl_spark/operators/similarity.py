@@ -724,7 +724,7 @@ KEEP_BAND_BITS = KEEP_BITS // KEEP_BANDS
     ),
     dup AS (
         -- zero-norm guard (ADVICE r13): 0/0 -> NaN compares >= 0.3 in
-        -- both engines, but the engine's int8 path drops zero-vector
+        -- both engines, but the engine's integer path drops zero-vector
         -- pairs (qdot = 0); the guard makes every path agree that a
         -- pair with a zero-norm side is not a dup.
         SELECT id_a, id_b FROM cand
@@ -1593,7 +1593,7 @@ ADAPT_MAX_B = ADAPT_MAX_BITS // ADAPT_BANDS
     ),
     dup AS (
         -- zero-norm guard (ADVICE r13): 0/0 -> NaN compares >= 0.3 in
-        -- both engines, but the engine's int8 path drops zero-vector
+        -- both engines, but the engine's integer path drops zero-vector
         -- pairs (qdot = 0); the guard makes every path agree that a
         -- pair with a zero-norm side is not a dup.
         SELECT id_a, id_b FROM cand
@@ -1647,7 +1647,7 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector.
 
     Verify traffic (r13/r14, VERDICT r12 #4 / r13 #1): the bucket join
-    and prefilter carry int8-quantized vectors, and a TWO-SIDED integer
+    and prefilter carry int16-quantized vectors, and a TWO-SIDED integer
     bound settles all but a thin margin of survivors without any float
     arithmetic — integer-certain dups pass directly, only the margin
     (quantized cosine within ±_Q_EPS of the threshold) re-checks on
@@ -1711,44 +1711,59 @@ def _sig_bands_frame(s: DataFrame, width: int, extra_cols: tuple = ("vec_id",)) 
     )
 
 
-#: Conservative quantized-cosine slack (VERDICT r12 #4): q = round(127·u)
-#: of a unit vector u deviates by ‖q − 127u‖₂ ≤ 0.5·√DIM, so the angle
-#: between q and u is at most asin(0.5√DIM / (127 − 0.5√DIM)), and the
-#: cosine of two quantized vectors differs from the true cosine by at most
-#: the SUM of the two angle errors (cos is 1-Lipschitz in angle). For
-#: DIM=64: 2·asin(4/123) ≈ 0.0651. Any pair with true cosine ≥ τ therefore
-#: has quantized cosine ≥ τ − _Q_EPS — the int8 prefilter is provably
-#: lossless, so the exact float re-check on its survivors returns the
-#: byte-identical dup set (tests/test_emb_quantized.py pins both claims).
-_Q_EPS = 2.0 * math.asin((0.5 * math.sqrt(DIM)) / (127.0 - 0.5 * math.sqrt(DIM)))
+#: Quantization scale for the carried integer vectors. r13 shipped int8
+#: (scale 127); r14 widened to int16 (scale 32767) after MEASURING the
+#: int8 margin at n=10M: 12.2M of 13.9M prefilter survivors fell inside
+#: the ±_Q_EPS(int8)=±0.065 cosine annulus where only floats can decide
+#: (this corpus's near-dups sit near the 0.3 threshold, not near 1), so
+#: the "thin margin" float re-fetch was the workload — ~56 GB of float
+#: shuffle at n=100M, the very wall the quantization was built to
+#: remove. At scale 32767 the slack collapses to ±2.44e-4, the margin
+#: shrinks by the annulus-width ratio (measured per decade in
+#: SCALING.md's verify-trade table), and the float re-check becomes a
+#: rounding-edge audit instead of a data path — for a band row that
+#: grows only from ~100 to ~160 bytes.
+_Q_SCALE = 32767.0
 
-#: int8 quantization of v onto the unit sphere: round(127·v/‖v‖), clamped
-#: against FP wobble at ±127. ANSI-safe: the all-zeros vector's /0 goes
+#: Conservative quantized-cosine slack (VERDICT r12 #4): q = round(S·u)
+#: of a unit vector u deviates by ‖q − S·u‖₂ ≤ 0.5·√DIM, so the angle
+#: between q and u is at most asin(0.5√DIM / (S − 0.5√DIM)), and the
+#: cosine of two quantized vectors differs from the true cosine by at
+#: most the SUM of the two angle errors (cos is 1-Lipschitz in angle).
+#: For DIM=64, S=32767: 2·asin(4/32763) ≈ 2.44e-4. Any pair with true
+#: cosine ≥ τ therefore has quantized cosine ≥ τ − _Q_EPS — the integer
+#: prefilter is provably lossless, so the exact float re-check on its
+#: survivors returns the byte-identical dup set
+#: (tests/test_emb_quantized.py pins both claims).
+_Q_EPS = 2.0 * math.asin((0.5 * math.sqrt(DIM)) / (_Q_SCALE - 0.5 * math.sqrt(DIM)))
+
+#: int16 quantization of v onto the unit sphere: round(S·v/‖v‖), clamped
+#: against FP wobble at ±S. ANSI-safe: the all-zeros vector's /0 goes
 #: through try_divide → NULL → snapped to 0 (cosine with a zero vector is
-#: undefined; it quantizes to the zero int8 vector, whose qdot=0 sits
-#: under every threshold and drops its pairs), and no tinyint overflow
-#: path exists.
+#: undefined; it quantizes to the zero vector, whose qdot=0 sits under
+#: every threshold and drops its pairs), and no smallint overflow path
+#: exists (±32767 is exactly SMALLINT's positive range).
 _Q_EXPR = (
-    "transform(v, x -> cast(greatest(-127.0D, least(127.0D, coalesce(nanvl("
-    "round(try_divide(CAST(x AS DOUBLE) * 127.0D, nrm)), CAST(0.0 AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE)))) AS tinyint))"
+    f"transform(v, x -> cast(greatest(-{_Q_SCALE}D, least({_Q_SCALE}D, "
+    f"coalesce(nanvl(round(try_divide(CAST(x AS DOUBLE) * {_Q_SCALE}D, nrm)), "
+    "CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)))) AS smallint))"
 )
-#: integer cross-dot of two int8 vectors (≤ 64·127² ≈ 1.03e6, fits INT;
-#: alias-qualified for the bucket self-join)
+#: integer cross-dot of two int16 vectors (≤ 64·32767² ≈ 6.9e13, needs
+#: BIGINT; alias-qualified for the bucket self-join)
 _QDOT_EXPR = (
-    "aggregate(zip_with(a.q, b.q, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), "
-    "0, (acc, p) -> acc + p)"
+    "aggregate(zip_with(a.q, b.q, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
 )
 
-#: smallest possible ‖q‖: a unit vector quantizes to 127·u + δ with
-#: ‖δ‖ ≤ 0.5·√DIM, so ‖q‖ ≥ 127 − 0.5·√DIM (= 123 at DIM=64)
-_Q_NORM_LO = 127.0 - 0.5 * math.sqrt(DIM)
+#: smallest possible ‖q‖: a unit vector quantizes to S·u + δ with
+#: ‖δ‖ ≤ 0.5·√DIM, so ‖q‖ ≥ S − 0.5·√DIM (= 32763 at DIM=64)
+_Q_NORM_LO = _Q_SCALE - 0.5 * math.sqrt(DIM)
 
 #: largest possible ‖q‖ (triangle inequality on the same decomposition):
-#: ‖q‖ ≤ 127 + 0.5·√DIM (= 131 at DIM=64). The zero vector (q = 0) is
+#: ‖q‖ ≤ S + 0.5·√DIM (= 32771 at DIM=64). The zero vector (q = 0) is
 #: the one exception to the decomposition and trivially satisfies both
 #: uses below (its qdot with anything is 0).
-_Q_NORM_HI = 127.0 + 0.5 * math.sqrt(DIM)
+_Q_NORM_HI = _Q_SCALE + 0.5 * math.sqrt(DIM)
 
 
 def _q_int_threshold(tau: float) -> int:
@@ -1848,7 +1863,7 @@ def _adaptive_pair_count(spark: SparkSession, sf_dir: str, force_width: int | No
 
 def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     """Exact verified near-dup pairs (id_a < id_b, cosine ≥ tau) with the
-    verify stage's bulk traffic carried as int8 (VERDICT r12 #4: the
+    verify stage's bulk traffic carried as int16 (VERDICT r12 #4: the
     n=100M keep-list's float-vector verify needed ~160 GB of shuffle
     against 39 GB of scratch — ORACLE_EMB100M_r12.log), and — since r14
     — a TWO-SIDED integer bound so that only a thin MARGIN of survivors
@@ -1858,8 +1873,10 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     n=100M attempts ENOSPC'd on); the two-sided bound removes that
     stage's dependence on n entirely.
 
-    Shape: the band relation itself carries the int8-quantized vector
-    (DIM bytes vs DIM·4B float + array overhead), the bucket self-join
+    Shape: the band relation itself carries the int16-quantized vector
+    (2·DIM bytes vs DIM·4B float + array overhead; int8 shipped first but
+    its ±0.065 slack put 88% of survivors in the float margin on this
+    corpus — see _Q_SCALE), the bucket self-join
     reuses ONE exchange of it (self-join → ReusedExchange), and the
     PURE-INTEGER prefilter ``qdot ≥ _q_int_threshold(tau)`` runs
     PIPELINED on the join output — no extra shuffle, no per-row norm,
@@ -1875,13 +1892,15 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
         a 2·_Q_EPS ≈ 0.13-wide annulus that only borderline pairs
         occupy) is exactly verified on floats.
 
-    The margin pair set is BROADCAST to the float relation (explicitly
-    — two map-side joins), so the float vectors stream from the parquet
-    scan and NEVER cross an exchange: the verify stage's shuffle volume
-    is O(margin), not O(n) and not O(survivors). Both thresholds are
-    conservative, so the returned pair set is byte-identical to the
-    all-float verify (pinned end-to-end plus adversarially at the
-    margin in tests/test_emb_quantized.py).
+    The margin's float fetch is bounded by a BROADCAST SEMI-JOIN on the
+    distinct margin vector ids (8 bytes/row — the only thing that ever
+    crosses the driver), which prunes the float relation to O(margin)
+    rows before the two fetch joins: the full float relation never
+    shuffles, so the verify stage's traffic is O(margin), not O(n) and
+    not O(survivors). Both thresholds are conservative, so the returned
+    pair set is byte-identical to the all-float verify (pinned
+    end-to-end plus adversarially at the margin in
+    tests/test_emb_quantized.py).
 
     Zero-norm embeddings (ADVICE r13): a zero vector quantizes to q = 0,
     whose qdot with anything is 0 — below every lo-threshold — so the
@@ -1933,23 +1952,38 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     )
     definite = pre.filter(F.col("definite")).select("id_a", "id_b")
     margin = pre.filter(~F.col("definite")).select("id_a", "id_b")
-    # Exact float verify of the margin only — margin pairs broadcast, the
-    # float relation streams from its scan (sig projected away so the
-    # signature expression never evaluates here).
+    # Exact float verify of the margin only. The full float relation must
+    # never shuffle (that was the n=100M wall), but the margin PAIR ROWS
+    # are too many to broadcast with vectors attached (measured ~2.9M
+    # pairs at n=10M — a >1 GB driver collect). So broadcast the cheapest
+    # possible thing: the DISTINCT margin vector IDS (8 bytes each) as a
+    # semi-join filter on the float relation — the scan prunes to just
+    # the vectors some margin pair touches, and only that filtered
+    # relation (O(margin), not O(n)) enters the two fetch joins.
     sv = s.select("vec_id", "v", "nrm")
-    m1 = sv.join(F.broadcast(margin), sv.vec_id == margin.id_a).select(
-        "id_a", "id_b", F.col("v").alias("va"), F.col("nrm").alias("na")
+    mids = (
+        margin.select(F.col("id_a").alias("vec_id"))
+        .unionAll(margin.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    svm = sv.join(F.broadcast(mids), "vec_id", "semi")
+    sa = svm.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    sb = svm.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     verified = (
-        sv.join(F.broadcast(m1), sv.vec_id == m1.id_b)
+        margin.join(sa, "id_a")
+        .join(sb, "id_b")
         # try_divide, not a bare /: ANSI mode ERRORS on the 0/0 a
         # zero-norm pair produces (a crash at scale, not a wrong row);
-        # NULL >= tau is NULL -> the pair drops, agreeing with the int8
+        # NULL >= tau is NULL -> the pair drops, agreeing with the integer
         # path and the guarded oracle. A plain `guard & (a/b >= tau)`
         # conjunction is NOT safe here - Spark predicates don't
         # short-circuit, so the division may still evaluate.
         .filter(
-            F.try_divide(_dot(_dvec("va"), _dvec("v")), F.col("na") * F.col("nrm"))
+            F.try_divide(_dot(_dvec("va"), _dvec("vb")), F.col("na") * F.col("nb"))
             >= tau
         )
         .select("id_a", "id_b")
@@ -1964,7 +1998,8 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
     series) and by tests as the reference the quantized verify must
     match. Candidate GENERATION (corpus → s → bands → bucket join) is
     byte-identical to production via the shared :func:`_adaptive_stage`
-    / :func:`_band_exprs`; since r13 the production verify carries int8
+    / :func:`_band_exprs`; since r13 the production verify is integer-
+    quantized
     (:func:`_quantized_dup_pairs`) while this float attach remains the
     ground-truth twin. Returns
     ``(e, n, band_width, cand)`` — ``cand`` is the DISTINCT bucket-join

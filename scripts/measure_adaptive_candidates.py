@@ -55,7 +55,7 @@ def main() -> int:
         # the pair list — pairs from the inclusion-exclusion band-group
         # closed form (three aggregations, zero pair rows; equals
         # ids.count() exactly, tests/test_emb_quantized.py), dups from
-        # the int8-prefiltered exact verify (provably the same count as
+        # the integer-prefiltered exact verify (provably the same count as
         # the all-float verify) — so this measurement survives the
         # n=100M point where even the ids-only pair DISTINCT ENOSPC'd
         # (ORACLE_EMB100M_r12.log attempt 4; r13 retry at 55 GB free).

@@ -49,7 +49,7 @@ def test_q_eps_bounds_quantization_error():
             c -= (c @ a) / (a @ a) * a
             b = 0.3 * a / np.linalg.norm(a) + np.sqrt(1 - 0.09) * c / np.linalg.norm(c)
         ua, ub = a / np.linalg.norm(a), b / np.linalg.norm(b)
-        qa, qb = np.round(127 * ua), np.round(127 * ub)
+        qa, qb = np.round(32767 * ua), np.round(32767 * ub)
         cos_t = float(ua @ ub)
         cos_q = float(qa @ qb) / (np.linalg.norm(qa) * np.linalg.norm(qb))
         worst = max(worst, abs(cos_q - cos_t))
@@ -57,9 +57,11 @@ def test_q_eps_bounds_quantization_error():
 
 
 def test_q_eps_is_tight_enough_to_prune():
-    """The slack must stay far below the verify threshold — a bound near
-    0.3 would pass everything and the prefilter would prune nothing."""
-    assert 0.0 < _Q_EPS < 0.1
+    """The slack must stay FAR below the verify threshold — a bound near
+    0.3 would pass everything and the prefilter would prune nothing. At
+    the int16 scale it must also keep the float margin a rounding-edge
+    audit, not a data path (the int8 lesson, see _Q_SCALE)."""
+    assert 0.0 < _Q_EPS < 1e-3
 
 
 def test_quantization_handles_zero_vector(spark):
@@ -75,7 +77,7 @@ def test_quantization_handles_zero_vector(spark):
     )
     rows = {r.vec_id: r for r in df.collect()}
     assert all(x == 0 for x in rows[1].q)
-    assert rows[2].q[0] == 127 and all(x == 0 for x in rows[2].q[1:])
+    assert rows[2].q[0] == 32767 and all(x == 0 for x in rows[2].q[1:])
 
 
 def test_int_threshold_is_conservative():
@@ -87,10 +89,10 @@ def test_int_threshold_is_conservative():
         _q_int_threshold,
     )
 
-    assert _Q_NORM_LO == 123.0
+    assert _Q_NORM_LO == 32763.0
     thr = _q_int_threshold(0.3)
-    assert thr <= (0.3 - _Q_EPS) * 123.0 * 123.0
-    assert thr == 3554  # pinned: a silent constant change shows up here
+    assert thr <= (0.3 - _Q_EPS) * 32763.0 * 32763.0
+    assert thr == 321762146  # pinned: a silent constant change shows up here
 
 
 def test_pair_count_closed_form_matches_distinct_join(spark, sf_dir):
@@ -116,10 +118,10 @@ def test_hi_threshold_is_conservative():
         _q_int_threshold_hi,
     )
 
-    assert _Q_NORM_HI == 131.0
+    assert _Q_NORM_HI == 32771.0
     thr = _q_int_threshold_hi(0.3)
-    assert thr >= (0.3 + _Q_EPS) * 131.0 * 131.0
-    assert thr == 6265  # pinned: a silent constant change shows up here
+    assert thr >= (0.3 + _Q_EPS) * 32771.0 * 32771.0
+    assert thr == 322443765  # pinned: a silent constant change shows up here
 
 
 def test_definite_implies_true_dup():
@@ -146,7 +148,7 @@ def test_definite_implies_true_dup():
             t = 0.3 + _Q_EPS + 0.01 * rng.random()
             b = t * a / np.linalg.norm(a) + np.sqrt(1 - t * t) * c / np.linalg.norm(c)
         ua, ub = a / np.linalg.norm(a), b / np.linalg.norm(b)
-        qa, qb = np.round(127 * ua), np.round(127 * ub)
+        qa, qb = np.round(32767 * ua), np.round(32767 * ub)
         if float(qa @ qb) >= thr:
             checked += 1
             assert float(ua @ ub) >= 0.3
@@ -169,14 +171,14 @@ def _np_f32(v):
 
 
 def _np_quant(v):
-    """Replicate _Q_EXPR: round(127·x/‖v‖) HALF-UP (Spark round), clamped
-    to ±127, zeros for the zero vector."""
+    """Replicate _Q_EXPR: round(S·x/‖v‖) HALF-UP (Spark round), clamped
+    to ±S, zeros for the zero vector (S = _Q_SCALE = 32767)."""
     v = _np_f32(v)
     nrm = float(np.sqrt((v * v).sum()))
     if nrm == 0.0:
         return np.zeros_like(v)
-    x = 127.0 * v / nrm
-    return np.clip(np.sign(x) * np.floor(np.abs(x) + 0.5), -127.0, 127.0)
+    x = 32767.0 * v / nrm
+    return np.clip(np.sign(x) * np.floor(np.abs(x) + 0.5), -32767.0, 32767.0)
 
 
 def _np_cos(a, b):
@@ -185,13 +187,12 @@ def _np_cos(a, b):
     return float((a * b).sum() / (na * nb)) if na * nb > 0 else float("nan")
 
 
-def _cone_pair(rng, H, Hinv, target, lo_q, hi_q, want_above):
-    """A pair (a, b) with identical 64-bit signatures — b is built inside
-    a's signature cone {x : H·x = diag(s)·y, y > 0}, so collision in both
-    bands is by construction, not luck — whose float32 cosine lands on
-    the requested side of 0.3 AND whose integer qdot lands strictly
-    inside the margin [lo_q, hi_q)."""
-    for _ in range(200):
+def _cone_setup(rng, H, Hinv):
+    """A base vector a and a blend family vec(t) that stays inside a's
+    signature cone {x : H·x = diag(s)·y, y > 0} for every t ∈ [0, 1] —
+    collision in both bands is by construction, not luck — with cosine
+    descending from 1 toward a low endpoint as t → 1."""
+    while True:
         a = rng.standard_normal(64)
         ha = H @ a
         if (ha == 0).any():
@@ -202,8 +203,21 @@ def _cone_pair(rng, H, Hinv, target, lo_q, hi_q, want_above):
         def vec(t):
             return Hinv @ (s * ((1 - t) * ya + t * yb))
 
-        if _np_cos(a, vec(1.0)) > target - 0.05:
-            continue
+        if _np_cos(a, vec(1.0)) < 0.2:
+            return a, vec
+
+
+def _sig_preserved(H, a, b):
+    """No hyperplane sign may flip once the vectors round-trip through
+    float32 storage (the engine computes signatures on stored values)."""
+    return (((H @ _np_f32(a)) > 0) == ((H @ _np_f32(b)) > 0)).all()
+
+
+def _cone_pair_at_cos(rng, H, Hinv, target):
+    """Colliding pair with float32 cosine ≈ target (coarse regime:
+    prefilter rejects, far from any threshold edge)."""
+    for _ in range(100):
+        a, vec = _cone_setup(rng, H, Hinv)
         lo_t, hi_t = 0.0, 1.0
         for _ in range(60):
             mid = 0.5 * (lo_t + hi_t)
@@ -212,16 +226,49 @@ def _cone_pair(rng, H, Hinv, target, lo_q, hi_q, want_above):
             else:
                 hi_t = mid
         b = vec(0.5 * (lo_t + hi_t))
-        cos32 = _np_cos(a, b)
-        qdot = float(_np_quant(a) @ _np_quant(b))
-        in_margin = lo_q <= qdot < hi_q
-        side_ok = (cos32 >= 0.3) if want_above else (cos32 < 0.3)
-        # construction must also be robust to the float32 round-trip: no
-        # sign may flip once stored (re-check on the stored values)
-        sig_a = (H @ _np_f32(a)) > 0
-        sig_b = (H @ _np_f32(b)) > 0
-        if in_margin and side_ok and (sig_a == sig_b).all():
+        if abs(_np_cos(a, b) - target) < 0.02 and _sig_preserved(H, a, b):
             return a, b
+    raise AssertionError("cone construction failed to hit the target cosine")
+
+
+def _cone_pair_in_margin(rng, H, Hinv, lo_q, hi_q, want_above):
+    """Colliding pair whose integer qdot lands strictly inside the
+    [lo_q, hi_q) margin — at the int16 scale a ~6.8e5-wide window in a
+    ~6.9e10 range, so the search bisects the QDOT STEP FUNCTION itself
+    (piecewise-constant in the blend parameter; single rounding flips
+    move it ~3e4, far less than the window, so the plateau just under
+    the hi threshold is inside the margin) — with float32 cosine on the
+    requested side of 0.3."""
+    # bisecting on the HI threshold converges to the window's top edge
+    # (quantized cosine ≈ tau + eps, so true cosine sits just ABOVE tau);
+    # bisecting on LO converges to the bottom edge (true cosine just
+    # BELOW tau) — pick the edge matching the requested side.
+    edge = hi_q if want_above else lo_q
+    for _ in range(500):
+        a, vec = _cone_setup(rng, H, Hinv)
+        qa = _np_quant(a)
+
+        def qd(t):
+            return float(qa @ _np_quant(vec(t)))
+
+        lo_t, hi_t = 0.0, 1.0
+        if qd(0.0) < edge:
+            continue
+        for _ in range(80):
+            mid = 0.5 * (lo_t + hi_t)
+            if qd(mid) >= edge:
+                lo_t = mid
+            else:
+                hi_t = mid
+        for t in np.linspace(lo_t, hi_t, 64):
+            b = vec(t)
+            q = float(qa @ _np_quant(b))
+            if not (lo_q <= q < hi_q):
+                continue
+            cos32 = _np_cos(a, b)
+            side_ok = (cos32 >= 0.3) if want_above else (cos32 < 0.3)
+            if side_ok and _sig_preserved(H, a, b):
+                return a, b
     raise AssertionError("cone construction failed to land in the margin")
 
 
@@ -251,15 +298,15 @@ def test_two_sided_margin_end_to_end(spark, tmp_path):
 
     # margin pairs on both sides of tau (2 each), engineered to collide
     for _ in range(2):
-        add_pair("margin_dup", *_cone_pair(rng, H, Hinv, 0.305, lo_q, hi_q, True))
-        add_pair("margin_rej", *_cone_pair(rng, H, Hinv, 0.295, lo_q, hi_q, False))
+        add_pair("margin_dup", *_cone_pair_in_margin(rng, H, Hinv, lo_q, hi_q, True))
+        add_pair("margin_rej", *_cone_pair_in_margin(rng, H, Hinv, lo_q, hi_q, False))
     # a definite dup (near-parallel: integer-certain, no float check)
     a = rng.standard_normal(64)
     b = a + 0.02 * rng.standard_normal(64)
     assert float(_np_quant(a) @ _np_quant(b)) >= hi_q
     add_pair("definite", a, b)
     # a colliding pair the integer prefilter must drop outright
-    add_pair("prefilter_rej", *_cone_pair(rng, H, Hinv, 0.10, -np.inf, lo_q, False))
+    add_pair("prefilter_rej", *_cone_pair_at_cos(rng, H, Hinv, 0.10))
     # the zero-norm NaN hole (ADVICE r13): the zero vector signs to the
     # all-zeros signature; w with H·w < 0 elementwise does too — they
     # collide, their float cosine is 0/0 = NaN, and NaN >= 0.3 is TRUE in
