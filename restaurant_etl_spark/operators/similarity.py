@@ -271,7 +271,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         -(-n // _EMB_SCAN_CHUNK),  # ceil
     )
-    if want > 1 and e.rdd.getNumPartitions() < want:
+    # Redistribute ONLY when the scan cannot even feed the cores (the r9
+    # single-row-group trap this floor exists for). r14: the old
+    # `scan < want` condition made a 203-partition scan of the 26 GB
+    # n=100M corpus reshuffle its entire raw float relation to reach a
+    # 256-partition SPARK_GRAFT_SHUFFLE setting — ~28 GB of shuffle PER
+    # QUERY for a 25% parallelism trim the 32 cores never noticed; three
+    # such queries filled the box's scratch disk before any real work.
+    # A scan already at or beyond core count is parallel enough; the
+    # repartition is for scans that starve cores.
+    cores = spark.sparkContext.defaultParallelism
+    scan_parts = e.rdd.getNumPartitions()
+    if want > 1 and scan_parts < want and scan_parts < cores:
         e = e.repartition(want)
     return e
 

@@ -41,6 +41,17 @@ def main() -> int:
     measure_old = "--measure-old-clamp" in argv
     if measure_old:
         argv.remove("--measure-old-clamp")
+    # --only=pairs / --only=dups (r14): at n=100M the pair-count
+    # aggregations' shuffle files (~10 GB) and the dup count's ~35 GB
+    # band exchange cannot coexist in one process's block manager on
+    # this box (shuffle files free only at process exit) — run the two
+    # halves as separate invocations and merge the printed fields.
+    only = None
+    for flag in list(argv):
+        if flag.startswith("--only="):
+            only = flag.split("=", 1)[1]
+            assert only in ("pairs", "dups"), only
+            argv.remove(flag)
     dirs = argv
     if not dirs:
         print(__doc__, file=sys.stderr)
@@ -59,9 +70,12 @@ def main() -> int:
         # the all-float verify) — so this measurement survives the
         # n=100M point where even the ids-only pair DISTINCT ENOSPC'd
         # (ORACLE_EMB100M_r12.log attempt 4; r13 retry at 55 GB free).
-        _e, n, width, pairs = _adaptive_pair_count(spark, d)
-        _e2, _n2, _w2, dup = _quantized_dup_pairs(spark, d)
-        dups = dup.count()
+        pairs = dups = None
+        if only in (None, "pairs"):
+            _e, n, width, pairs = _adaptive_pair_count(spark, d)
+        if only in (None, "dups"):
+            _e2, n, width, dup = _quantized_dup_pairs(spark, d)
+            dups = dup.count()
         old_b = min(16, max(ADAPT_MIN_B, int(n).bit_length()))
         row = {
             "dir": d,
@@ -69,13 +83,16 @@ def main() -> int:
             "band_width": width,
             "cand_pairs": pairs,
             "true_dup_pairs": dups,
-            "waste_pairs": pairs - dups,
-            "waste_per_vector": round((pairs - dups) / n, 3),
-            "pairs_per_vector": round(pairs / n, 3),
             "old_clamp_b": old_b,
             "old_clamp_expected_pairs":
                 round(ADAPT_BANDS * n * (n - 1) / 2 / (1 << old_b)),
         }
+        if pairs is not None and dups is not None:
+            row.update(
+                waste_pairs=pairs - dups,
+                waste_per_vector=round((pairs - dups) / n, 3),
+                pairs_per_vector=round(pairs / n, 3),
+            )
         if measure_old and old_b < width:
             # counterfactual: the SAME pipeline pinned to the r7 clamp —
             # measured, not estimated
@@ -83,7 +100,8 @@ def main() -> int:
                 spark, d, force_width=old_b
             )
             row["old_clamp_measured_pairs"] = old_pairs
-            row["old_clamp_waste_per_vector"] = round((old_pairs - dups) / n, 3)
+            if dups is not None:
+                row["old_clamp_waste_per_vector"] = round((old_pairs - dups) / n, 3)
         print(json.dumps(row), flush=True)
     return 0
 
