@@ -102,23 +102,45 @@ CALIBRATION = [
 ]
 
 
+def _newest_committed_bench_artifact() -> tuple[str, str] | None:
+    """(path, commit) of the newest BENCH_r*.json that is actually IN a
+    commit — the shared resolution both baseline consumers use (VERDICT
+    r14 #6). Walking `os.listdir` newest-first alone is the hazard ADVICE
+    r13 fixed in :func:`_tag_baseline_rev`: mid-round the driver drops
+    THIS round's artifact into the working tree uncommitted, and a bench
+    re-run would then compare HEAD against its own round's numbers —
+    silently suppressing every envelope flag. An artifact without a
+    commit is skipped, never used."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r(\d+)\.json", f)),
+        key=lambda f: int(re.findall(r"\d+", f)[0]),
+        reverse=True,
+    )
+    for cand in cands:
+        rev = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", cand],
+            cwd=here, capture_output=True, text=True,
+        ).stdout.strip()
+        if rev:
+            return os.path.join(here, cand), rev
+    return None
+
+
 def _previous_round_queries(sf: float | None) -> dict[str, float]:
-    """Steady per-query medians from the newest committed BENCH_r*.json at
-    the SAME scale factor — the round-over-round baseline the envelope
+    """Steady per-query medians from the newest COMMITTED BENCH_r*.json
+    at the SAME scale factor — the round-over-round baseline the envelope
     triage compares against. SPARK_GRAFT_PREV_BENCH overrides the file;
     a missing/unparseable artifact or an sf mismatch silently disables
     the triage (first round at a new scale point has no baseline)."""
     path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
     if not path:
-        here = os.path.dirname(os.path.abspath(__file__))
-        cands = []
-        for f in os.listdir(here):
-            m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
-            if m:
-                cands.append((int(m.group(1)), os.path.join(here, f)))
-        if not cands:
+        found = _newest_committed_bench_artifact()
+        if found is None:
             return {}
-        path = max(cands)[1]
+        path = found[0]
     try:
         with open(path) as fh:
             doc = json.load(fh)
@@ -139,29 +161,15 @@ def _tag_baseline_rev() -> str | None:
     ADVICE r13: the newest artifact in the working tree is often the
     current round's UNCOMMITTED one — `git log -1 -- <it>` is empty and
     returning None here silently disabled the whole protocol in exactly
-    the state it was built for. Walk candidates newest-first and take the
-    first that actually has a commit."""
+    the state it was built for. Resolution is the shared
+    :func:`_newest_committed_bench_artifact` walk (VERDICT r14 #6)."""
     env = os.environ.get("SPARK_GRAFT_TAG_BASELINE", "auto")
     if env in ("off", "0", "none", ""):
         return None
     if env != "auto":
         return env
-    import subprocess
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    cands = sorted(
-        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r(\d+)\.json", f)),
-        key=lambda f: int(re.findall(r"\d+", f)[0]),
-        reverse=True,
-    )
-    for cand in cands:
-        rev = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--", cand],
-            cwd=here, capture_output=True, text=True,
-        ).stdout.strip()
-        if rev:
-            return rev
-    return None
+    found = _newest_committed_bench_artifact()
+    return found[1] if found else None
 
 
 def _parse_child_metrics(stdout: str) -> tuple[dict | None, str | None]:
@@ -258,12 +266,16 @@ def _apply_tag_verdicts(
     tag_baseline: dict,
     head_fresh: dict,
     timings: dict,
+    stats: dict | None = None,
 ) -> None:
     """Child-to-child code-vs-environment verdicts for flagged queries
-    (VERDICT r13 #2). Mutates ``envelopes`` (verdict + evidence keys) and
+    (VERDICT r13 #2). Mutates ``envelopes`` (verdict + evidence keys),
     ``timings`` (flagged queries publish the HEAD fresh-child reading —
     the in-session number that tripped the flag came from a session state
-    the comparison just found suspect)."""
+    the comparison just found suspect), and ``stats`` (ADVICE r14: the
+    query_stats median must agree with the published number; min/max stay
+    the in-session envelope, marked as such, because the child reports
+    only its median)."""
     tag_q = tag_baseline.get("queries", {})
     head_q = head_fresh.get("queries", {})
     for name in flagged:
@@ -274,6 +286,10 @@ def _apply_tag_verdicts(
             envelopes[name]["published"] = "head_fresh_child"
             envelopes[name]["in_session_now"] = timings[name]
             timings[name] = hq
+            if stats is not None and name in stats:
+                stats[name]["median"] = hq
+                stats[name]["published"] = "head_fresh_child"
+                stats[name]["minmax_basis"] = "in_session_envelope"
         if tq is None or not tq:
             envelopes[name]["tag_classification"] = "no_tag_reading"
             continue
@@ -505,7 +521,7 @@ def main() -> int:
             here = os.path.dirname(os.path.abspath(__file__))
             head_fresh = _run_child_bench(here)
             _apply_tag_verdicts(envelopes, flagged, tag_baseline,
-                                head_fresh, timings)
+                                head_fresh, timings, stats)
 
     total = round(sum(timings.values()), 3)
     # Full detail (per-query min/median/max envelopes + cold timings) goes to

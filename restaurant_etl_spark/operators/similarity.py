@@ -1657,16 +1657,21 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside buckets, min-id canonical per vector — one keep/drop row per
     vector.
 
-    Verify traffic (r13/r14, VERDICT r12 #4 / r13 #1): the bucket join
-    and prefilter carry int16-quantized vectors, and a TWO-SIDED integer
-    bound settles all but a thin margin of survivors without any float
-    arithmetic — integer-certain dups pass directly, only the margin
-    (quantized cosine within ±_Q_EPS of the threshold) re-checks on
-    floats, fetched via broadcast so the float relation never crosses an
-    exchange (see :func:`_quantized_dup_pairs` — provably the same dup
-    set; replaces the ~160 GB float-verify shuffle that walled n=100M at
-    r12 and the ~56 GB survivor re-fetch that walled it at r13)."""
-    e, _n, _width, dup = _quantized_dup_pairs(spark, sf_dir, tau=0.3)
+    Verify traffic (r13/r14, VERDICT r12 #4 / r13 #1): past
+    :data:`EMB_VERIFY_FLOAT_MAX_N` vectors the bucket join and prefilter
+    carry int16-quantized vectors, and a TWO-SIDED integer bound settles
+    all but a thin margin of survivors without any float arithmetic —
+    integer-certain dups pass directly, only the margin (quantized
+    cosine within ±_Q_EPS of the threshold) re-checks on floats, fetched
+    via broadcast so the float relation never crosses an exchange (see
+    :func:`_quantized_dup_pairs` — provably the same dup set; replaces
+    the ~160 GB float-verify shuffle that walled n=100M at r12 and the
+    ~56 GB survivor re-fetch that walled it at r13). At or below the
+    switch point the dispatcher (:func:`_verified_dup_pairs`, r15,
+    VERDICT r14 #2) runs the plain all-float verify instead — strictly
+    faster wherever O(n) float traffic is trivially affordable — with
+    arm-independence of the output pinned by tests."""
+    e, _n, _width, dup = _verified_dup_pairs(spark, sf_dir, tau=0.3)
     return (
         e.join(dup, e.vec_id == dup.id_b, "left")
         .groupBy("vec_id")
@@ -1759,7 +1764,7 @@ _Q_EXPR = (
     f"coalesce(nanvl(round(try_divide(CAST(x AS DOUBLE) * {_Q_SCALE}D, nrm)), "
     "CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)))) AS smallint))"
 )
-#: integer cross-dot of two int16 vectors (≤ 64·32767² ≈ 6.9e13, needs
+#: integer cross-dot of two int16 vectors (≤ 64·32767² ≈ 6.9e10, needs
 #: BIGINT; alias-qualified for the bucket self-join)
 _QDOT_EXPR = (
     "aggregate(zip_with(a.q, b.q, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
@@ -1795,20 +1800,35 @@ def _q_int_threshold_hi(tau: float) -> int:
     / (‖qa‖‖qb‖) ≥ tau + _Q_EPS (norms are ≤ _Q_NORM_HI), and the
     Lipschitz slack then gives TRUE cosine ≥ tau — no float arithmetic
     ever needs to confirm such a pair. ceil() keeps the claim
-    conservative. Requires tau + _Q_EPS < 1 (asserted): above that no
-    pair could ever be integer-certain and the margin would be the whole
-    survivor set."""
+    conservative, and the +1 (ADVICE r14) is a one-ulp cushion: the bare
+    ceil bound guarantees true cosine ≥ tau in EXACT real arithmetic
+    with zero slack at the boundary, while the float arm compares a
+    double-accumulated cosine — a pair within ~1e-15 of tau could in
+    principle be integer-certain here yet dropped by the float verify.
+    +1 puts every definite pair strictly inside the float-pass region,
+    so "byte-identical to the float arm" holds under double rounding
+    too, not just in exact arithmetic (a boundary pair lands in the
+    margin, where the float check decides for both arms). Requires
+    tau + _Q_EPS < 1 (asserted): above that no pair could ever be
+    integer-certain and the margin would be the whole survivor set."""
     hi = tau + _Q_EPS
     assert hi < 1.0, f"tau={tau} + slack {_Q_EPS} leaves no certain region"
-    return int(math.ceil(hi * _Q_NORM_HI * _Q_NORM_HI))
+    return int(math.ceil(hi * _Q_NORM_HI * _Q_NORM_HI)) + 1
 
 
-def _adaptive_ids(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+def _adaptive_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    force_width: int | None = None,
+    _stage=None,
+):
     """Candidate-pair IDS only (vectors carried by NOTHING): the bucket
     self-join on skinny (vec_id, band_idx, band) rows plus the pair
     DISTINCT. This is the cheapest way to COUNT candidates (the waste
-    row's ``pairs`` column) — no vector ever crosses an exchange."""
-    e, n, width, s = _adaptive_stage(spark, sf_dir, force_width)
+    row's ``pairs`` column) — no vector ever crosses an exchange.
+    ``_stage`` reuses a prebuilt :func:`_adaptive_stage` tuple so the
+    arm dispatcher's plan-time ``count()`` is paid once, not per arm."""
+    e, n, width, s = _stage or _adaptive_stage(spark, sf_dir, force_width)
     bands = _sig_bands_frame(s, width).select(
         "vec_id",
         F.posexplode(
@@ -1872,7 +1892,9 @@ def _adaptive_pair_count(spark: SparkSession, sf_dir: str, force_width: int | No
     return e, n, width, total
 
 
-def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
+def _quantized_dup_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.3, _stage=None
+):
     """Exact verified near-dup pairs (id_a < id_b, cosine ≥ tau) with the
     verify stage's bulk traffic carried as int16 (VERDICT r12 #4: the
     n=100M keep-list's float-vector verify needed ~160 GB of shuffle
@@ -1925,8 +1947,10 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     CollapseProject inline the norm subexpression into every lambda
     element of the interpreted HOF chain, measured 20× slower per row.
 
-    Returns (e, n, width, dup) where dup has columns (id_a, id_b)."""
-    e, n, width, s = _adaptive_stage(spark, sf_dir)
+    Returns (e, n, width, dup) where dup has columns (id_a, id_b).
+    ``_stage`` reuses a prebuilt :func:`_adaptive_stage` tuple (arm
+    dispatcher: one plan-time count, not one per arm)."""
+    e, n, width, s = _stage or _adaptive_stage(spark, sf_dir)
     bq = (
         _sig_bands_frame(s, width, extra_cols=("vec_id", "v", "nrm"))
         .select(
@@ -2003,7 +2027,12 @@ def _quantized_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
     return e, n, width, dup
 
 
-def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = None):
+def _adaptive_cand(
+    spark: SparkSession,
+    sf_dir: str,
+    force_width: int | None = None,
+    _stage=None,
+):
     """The keep-list's candidate stage with FLOAT vectors attached —
     used by ``scripts/measure_adaptive_candidates.py`` (the Θ(n) waste
     series) and by tests as the reference the quantized verify must
@@ -2023,7 +2052,7 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
     where the old whole-row DISTINCT collapsed them; enforced loudly by
     :func:`_emb`'s data contract, ADVICE r8). ``force_width`` pins B
     (measurement-only: the counterfactual old-clamp run)."""
-    e, n, width, s, ids = _adaptive_ids(spark, sf_dir, force_width)
+    e, n, width, s, ids = _adaptive_ids(spark, sf_dir, force_width, _stage=_stage)
     sa = s.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -2032,6 +2061,64 @@ def _adaptive_cand(spark: SparkSession, sf_dir: str, force_width: int | None = N
     )
     cand = ids.join(sa, "id_a").join(sb, "id_b")
     return e, n, width, cand
+
+
+#: Verify-arm switch point (r15, VERDICT r14 #2). All verify arms are
+#: proven byte-identical (tests/test_emb_quantized.py end-to-end + at
+#: the margin; the three-arm 6,432,039-pair agreement at n=10M), so the
+#: choice is pure wall-clock, and the two arms win in different decades:
+#: below the disk wall the all-float fetch is strictly faster (it pays
+#: ONE band join on skinny id rows and skips quantization + the
+#: 2×-band-join + the interpreted BIGINT dot entirely — SCALING.md
+#: verify-trade table: 1.95 s vs 3.85 s at sf0.1, 284 s vs 366 s at
+#: n=10M), while past it the int16 two-sided bound is the ONLY arm that
+#: fits on disk (float verify shuffles O(n) vector bytes: ~112 GB at
+#: n=100M, the r12/r13 ENOSPC wall; int16 margin traffic is O(margin)).
+#: The switch sits a decade inside the float arm's win region — the
+#: point is to never pay int16's constant where O(n) float traffic is
+#: still trivially affordable, and never risk the disk wall where it
+#: is not.
+EMB_VERIFY_FLOAT_MAX_N = 1_000_000
+
+
+def _verify_arm(n: int) -> str:
+    """Which verify arm the keep-list runs at corpus size ``n`` —
+    ``"float"`` at or below :data:`EMB_VERIFY_FLOAT_MAX_N`, ``"int16"``
+    above (pinned by tests/test_emb_quantized.py)."""
+    return "float" if n <= EMB_VERIFY_FLOAT_MAX_N else "int16"
+
+
+def _float_dup_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.3, _stage=None
+):
+    """All-float verify arm: the candidate stage with float vectors
+    attached (:func:`_adaptive_cand` — byte-identical candidate
+    generation via the shared :func:`_adaptive_stage`) filtered by the
+    exact zero-norm-guarded cosine. ``try_divide``, not a bare ``/``:
+    ANSI mode errors on the 0/0 a zero-norm pair produces; NULL ≥ tau
+    is NULL → the pair drops, agreeing with the integer arm and the
+    guarded oracle."""
+    e, n, width, cand = _adaptive_cand(spark, sf_dir, _stage=_stage)
+    dup = cand.filter(
+        F.try_divide(_dot(_dvec("va"), _dvec("vb")), F.col("na") * F.col("nb"))
+        >= tau
+    ).select("id_a", "id_b")
+    return e, n, width, dup
+
+
+def _verified_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3):
+    """Decade-adaptive verified dup pairs (VERDICT r14 #2): one
+    plan-time corpus count picks the verify arm — float fetch at or
+    below :data:`EMB_VERIFY_FLOAT_MAX_N` vectors, int16 two-sided above
+    — and the prebuilt stage is passed down so the count is paid once.
+    Output is arm-independent by the two-sided Lipschitz bound (pinned
+    in tests/test_emb_quantized.py), so this dispatch can never move a
+    hash; it only claws back the int16 constant where it buys nothing."""
+    stage = _adaptive_stage(spark, sf_dir)
+    n = stage[1]
+    if _verify_arm(n) == "float":
+        return _float_dup_pairs(spark, sf_dir, tau, _stage=stage)
+    return _quantized_dup_pairs(spark, sf_dir, tau, _stage=stage)
 
 
 #: hard negatives mined per query

@@ -15,9 +15,25 @@ Arms:
               on floats via broadcast.
   classify  — survivor classification counts only (definite vs margin),
               the direct evidence for how thin the float margin is.
+  bandhist  — full candidate histogram on the quantized-cosine scale
+              (r15, VERDICT r14 #4): every DISTINCT candidate pair
+              bucketed as definite (≥ hi) / margin ([lo, hi)) /
+              borderline (quantized cosine in [0.25, lo) — the
+              near-threshold non-dup mass the waste-series decomposition
+              attributes the fourth-decade growth to) / random (< 0.25,
+              pure band collisions). Counted WITHOUT materializing a
+              pair DISTINCT (the n=100M ids-only DISTINCT ENOSPC'd at
+              r13): per-band bucket counts minus the both-bands
+              correction join — inclusion-exclusion at ADAPT_BANDS=2 —
+              so the only shuffles are the two band joins and byte-sized
+              count rows. Bucket edges use qdot ≥ c·_Q_NORM_LO² as
+              "quantized cosine ≥ c"; exact for the production lo/hi
+              thresholds, and for the 0.25 diagnostic edge off by at
+              most the norm wobble (±2.5e-4 in cosine) — a measurement
+              bucket, not a correctness gate.
 
 Usage:
-    python scripts/measure_verify_trade.py DIR {float|quant|classify}
+    python scripts/measure_verify_trade.py DIR {float|quant|classify|bandhist}
 
 Env: SPARK_DRIVER_MEM, SPARK_GRAFT_SHUFFLE as usual.
 """
@@ -87,13 +103,15 @@ def main() -> int:
             _sig_bands_frame,
         )
 
+        from restaurant_etl_spark.operators.similarity import ADAPT_BANDS
+
         e, n, width, s = _adaptive_stage(spark, d)
         bq = (
             _sig_bands_frame(s, width, extra_cols=("vec_id", "v", "nrm"))
             .select(
                 "vec_id", "v", "nrm",
                 F.posexplode(
-                    F.array(*[F.col(f"band{k}") for k in range(2)])
+                    F.array(*[F.col(f"band{k}") for k in range(ADAPT_BANDS)])
                 ).alias("band_idx", "band"),
             )
             .withColumn("q", F.expr(_Q_EXPR))
@@ -122,6 +140,74 @@ def main() -> int:
             n=n, band_width=width,
             definite_pairs=int(rows.get(True, 0)),
             margin_pairs=int(rows.get(False, 0)),
+        )
+    elif arm == "bandhist":
+        import math
+
+        from restaurant_etl_spark.operators.similarity import (
+            ADAPT_BANDS,
+            _Q_EXPR,
+            _Q_NORM_LO,
+            _QDOT_EXPR,
+            _sig_bands_frame,
+        )
+
+        assert ADAPT_BANDS == 2, "inclusion-exclusion below is written for 2 bands"
+        lo, hi = _q_int_threshold(0.3), _q_int_threshold_hi(0.3)
+        t25 = int(math.floor(0.25 * _Q_NORM_LO * _Q_NORM_LO))
+        bucket = (
+            F.when(F.col("qdot") >= F.lit(hi), F.lit("definite"))
+            .when(F.col("qdot") >= F.lit(lo), F.lit("margin"))
+            .when(F.col("qdot") >= F.lit(t25), F.lit("borderline"))
+            .otherwise(F.lit("random"))
+        )
+        # quantize ONCE per row on the un-exploded (wide) frame; both the
+        # per-band and the both-bands join read the same relation
+        _e, n, w, s = _adaptive_stage(spark, d)
+        wide = (
+            _sig_bands_frame(s, w, extra_cols=("vec_id", "v", "nrm"))
+            .withColumn("q", F.expr(_Q_EXPR))
+            .select("vec_id", "q", "band0", "band1")
+        )
+        bq = wide.select(
+            "vec_id", "q",
+            F.posexplode(F.array("band0", "band1")).alias("band_idx", "band"),
+        )
+        a, b = bq.alias("a"), bq.alias("b")
+        per_band = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .withColumn("qdot", F.expr(_QDOT_EXPR))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .count()
+        )
+        wa, wb = wide.alias("a"), wide.alias("b")
+        both = (
+            wa.join(
+                wb,
+                (F.col("a.band0") == F.col("b.band0"))
+                & (F.col("a.band1") == F.col("b.band1"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .withColumn("qdot", F.expr(_QDOT_EXPR))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .count()
+        )
+        c1 = {r["bucket"]: r["count"] for r in per_band.collect()}
+        c2 = {r["bucket"]: r["count"] for r in both.collect()}
+        hist = {k: int(c1.get(k, 0) - c2.get(k, 0))
+                for k in ("definite", "margin", "borderline", "random")}
+        out.update(
+            n=n, band_width=w,
+            cand_pairs=sum(hist.values()),
+            **{f"{k}_pairs": v for k, v in hist.items()},
+            qdot_edges={"t25": t25, "lo": lo, "hi": hi},
         )
     else:
         print(f"unknown arm {arm!r}", file=sys.stderr)

@@ -176,3 +176,66 @@ def test_missing_tag_reading_recorded():
     assert e["tag_classification"] == "no_tag_reading"
     # the fresh-child repair still applies even without a tag reading
     assert timings["new_query_this_round"] == 0.9
+
+
+# ---------------------------------------------------------------------------
+# _newest_committed_bench_artifact (VERDICT r14 #6: the envelope-triage
+# baseline must never resolve to the current round's uncommitted artifact)
+# ---------------------------------------------------------------------------
+
+
+def test_previous_round_baseline_skips_uncommitted_artifact(monkeypatch):
+    """A mid-round re-run with an uncommitted BENCH_r999.json in the tree
+    must triage against the newest COMMITTED artifact, not HEAD's own
+    round's numbers (which would suppress every envelope flag)."""
+    fake = os.path.join(REPO, "BENCH_r999.json")
+    monkeypatch.delenv("SPARK_GRAFT_PREV_BENCH", raising=False)
+    try:
+        with open(fake, "w") as fh:
+            fh.write(json.dumps({"sf": 0.1, "queries": {"q1": 99.0}}))
+        found = bench._newest_committed_bench_artifact()
+        assert found is not None
+        path, rev = found
+        assert not path.endswith("BENCH_r999.json")
+        assert rev
+        tracked = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", os.path.basename(path)],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.strip()
+        assert tracked == rev
+        # and the triage consumer rides the same resolution: the fake's
+        # poisoned q1=99.0 must not be what _previous_round_queries reads
+        doc = json.load(open(path))
+        parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+        if parsed.get("sf") == 0.1:
+            q = bench._previous_round_queries(0.1)
+            assert q.get("q1") != 99.0
+    finally:
+        os.remove(fake)
+
+
+def test_tag_rev_and_prev_queries_share_resolution():
+    """Both consumers must name the same committed artifact (the shared
+    helper is the fix — two parallel walks is how the r13 asymmetry
+    happened in the first place)."""
+    found = bench._newest_committed_bench_artifact()
+    assert found is not None
+    assert bench._tag_baseline_rev() == found[1]
+
+
+def test_apply_tag_verdicts_repairs_query_stats_median():
+    """ADVICE r14: full['queries'] and full['query_stats'] must agree for
+    flagged queries after the fresh-child repair."""
+    envelopes = _env("q1", now=2.0, prev=0.5)
+    timings = {"q1": 2.0}
+    stats = {"q1": {"min": 1.9, "median": 2.0, "max": 2.2, "n": 5}}
+    bench._apply_tag_verdicts(
+        envelopes, ["q1"],
+        tag_baseline={"queries": {"q1": 0.55}},
+        head_fresh={"queries": {"q1": 0.6}},
+        timings=timings, stats=stats,
+    )
+    assert timings["q1"] == 0.6
+    assert stats["q1"]["median"] == 0.6
+    assert stats["q1"]["published"] == "head_fresh_child"
+    assert stats["q1"]["minmax_basis"] == "in_session_envelope"

@@ -120,8 +120,11 @@ def test_hi_threshold_is_conservative():
 
     assert _Q_NORM_HI == 32771.0
     thr = _q_int_threshold_hi(0.3)
-    assert thr >= (0.3 + _Q_EPS) * 32771.0 * 32771.0
-    assert thr == 322443765  # pinned: a silent constant change shows up here
+    # STRICTLY above the exact bound (ADVICE r14 one-ulp cushion: a
+    # boundary pair must land in the float-decided margin, not in
+    # definite, so arm identity holds under double rounding too)
+    assert thr > (0.3 + _Q_EPS) * 32771.0 * 32771.0
+    assert thr == 322443766  # pinned: a silent constant change shows up here
 
 
 def test_definite_implies_true_dup():
@@ -353,3 +356,61 @@ def test_two_sided_margin_end_to_end(spark, tmp_path):
     ).select("id_a", "id_b")
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         unguarded.collect()
+
+
+# ---------------------------------------------------------------------------
+# Decade-adaptive verify-arm dispatch (r15, VERDICT r14 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_verify_arm_switch_point():
+    """The switch is pinned: float at or below EMB_VERIFY_FLOAT_MAX_N
+    vectors (where O(n) float traffic is trivially affordable and the
+    int16 constant buys nothing), int16 two-sided strictly above (where
+    the float arm's O(n) shuffle is the r12/r13 disk wall)."""
+    from restaurant_etl_spark.operators.similarity import (
+        EMB_VERIFY_FLOAT_MAX_N,
+        _verify_arm,
+    )
+
+    assert EMB_VERIFY_FLOAT_MAX_N == 1_000_000
+    assert _verify_arm(2_000) == "float"
+    assert _verify_arm(EMB_VERIFY_FLOAT_MAX_N) == "float"
+    assert _verify_arm(EMB_VERIFY_FLOAT_MAX_N + 1) == "int16"
+    assert _verify_arm(100_000_000) == "int16"
+
+
+def test_keep_list_identical_on_both_sides_of_switch(spark, sf_dir, monkeypatch):
+    """dedup_embedding_keep's output must be byte-identical whichever arm
+    the dispatcher picks — forcing the int16 arm at the fixture's corpus
+    size (by dropping the switch to 0) must reproduce the default float
+    arm's keep-list row for row."""
+    from restaurant_etl_spark.operators import similarity as sim
+
+    keep_float = {
+        tuple(r) for r in sim.dedup_embedding_keep(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(sim, "EMB_VERIFY_FLOAT_MAX_N", 0)
+    keep_int16 = {
+        tuple(r) for r in sim.dedup_embedding_keep(spark, sf_dir).collect()
+    }
+    assert keep_float == keep_int16
+    assert len(keep_float) > 0
+
+
+def test_dispatcher_counts_corpus_once(spark, sf_dir, monkeypatch):
+    """The arm dispatch pays ONE plan-time count: the prebuilt stage is
+    passed down, so _adaptive_stage runs exactly once per keep-list call
+    (a second count is a second full scan at 100M vectors)."""
+    from restaurant_etl_spark.operators import similarity as sim
+
+    calls = []
+    real = sim._adaptive_stage
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "_adaptive_stage", spy)
+    sim._verified_dup_pairs(spark, sf_dir)
+    assert len(calls) == 1
