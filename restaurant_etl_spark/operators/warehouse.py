@@ -333,40 +333,48 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = _relational_merge(base, c1)
 
-    ak = F.abs(F.col("o_orderkey"))
+    # Batch 2's change rows depend ONLY on the post-batch-1 KEY SET and
+    # literals (the three ops carry constants, never an s1 column), and
+    # s1's key multiset is a closed form over base: keep k where
+    # k % DELETE_MOD != 0 or k % UPDATE_MOD == 0, plus -k where
+    # k % INSERT_MOD == 0. Deriving c2 from base keys directly is
+    # therefore value-identical to filtering s1 — and it stops the plan
+    # from re-executing the whole batch-1 merge subtree three more times
+    # (r15 optimization: the old three s1-filter branches made the plan
+    # carry FOUR copies of the batch-1 full-outer join — 5 SortMergeJoins
+    # total, re-verified identical hashes at sf0.001/0.01/0.1 after the
+    # rewrite; guide §2.4 "remove shuffles outright").
+    kept = base.select(k.alias("m_key")).filter(
+        (k % DELETE_MOD != 0) | (k % UPDATE_MOD == 0)
+    )
+    ins = base.filter(k % INSERT_MOD == 0).select((-k).alias("m_key"))
+    ak = F.abs(F.col("m_key"))
+    is_inc = ak % INC2_MOD == 0
+    is_del = (ak % DEL2_MOD == 0) & ~is_inc
+    is_upd = (ak % UPD2_MOD == 0) & ~is_inc & ~is_del
     c2 = (
-        s1.filter(ak % INC2_MOD == 0)
+        kept.unionByName(ins)
+        .filter(is_inc | is_del | is_upd)
         .select(
-            F.col("o_orderkey").alias("m_key"),
-            F.lit("increment").alias("op"),
-            F.lit(None).cast("string").alias("new_status"),
-            F.lit(100.0).alias("new_price"),
-        )
-        .unionByName(
-            s1.filter((ak % DEL2_MOD == 0) & (ak % INC2_MOD != 0)).select(
-                F.col("o_orderkey").alias("m_key"),
-                F.lit("delete").alias("op"),
-                F.lit(None).cast("string").alias("new_status"),
-                F.lit(None).cast("double").alias("new_price"),
-            )
-        )
-        .unionByName(
-            s1.filter(
-                (ak % UPD2_MOD == 0) & (ak % INC2_MOD != 0) & (ak % DEL2_MOD != 0)
-            ).select(
-                F.col("o_orderkey").alias("m_key"),
-                F.lit("update").alias("op"),
-                F.lit("U2").alias("new_status"),
-                F.lit(500.0).alias("new_price"),
-            )
+            "m_key",
+            F.when(is_inc, F.lit("increment"))
+            .when(is_del, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.when(is_upd, F.lit("U2")).cast("string").alias("new_status"),
+            F.when(is_inc, F.lit(100.0))
+            .when(is_upd, F.lit(500.0))
+            .cast("double")
+            .alias("new_price"),
         )
     )
     # key 0 is both updated (0 % 97 = 0) and inserted (-0 = 0), so s1
-    # legitimately carries TWO key-0 rows; deriving c2 from s1 then emits
-    # two IDENTICAL change rows for that key, which would fan out in the
-    # merge join. Distinct-ing the change set (full rows — the branches
-    # are modulus-disjoint, so same-key rows are always identical) keeps
-    # one change per key, matching the oracle's row-wise CASE semantics.
+    # legitimately carries TWO key-0 rows; deriving c2 from the same key
+    # multiset then emits two IDENTICAL change rows for that key, which
+    # would fan out in the merge join. Distinct-ing the change set (full
+    # rows — the op branches are disjoint per key, so same-key rows are
+    # always identical) keeps one change per key, matching the oracle's
+    # row-wise CASE semantics.
     s2 = _relational_merge(s1, c2.dropDuplicates())
     return s2.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
