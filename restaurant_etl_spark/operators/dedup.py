@@ -212,16 +212,37 @@ def _staged_common(spark: SparkSession, sf_dir: str, sa: DataFrame) -> DataFrame
     )
 
 
+def _has_rows(df: DataFrame) -> bool:
+    """Plan-time non-emptiness probe for staged (already materialized)
+    frames — extracted so tests can force the non-empty dispatch arm
+    (monkeypatch to ``lambda df: True``)."""
+    return not df.isEmpty()
+
+
+def _sa_sizes(sa: DataFrame, name: str = "n_shingles") -> DataFrame:
+    """(doc_id, <name>): per-doc distinct-shingle counts read straight
+    off the staged array frame — ``sharr`` is ``array_distinct``'d and
+    zero-shingle docs are already dropped (see :func:`shingle_arrays`),
+    so ``size(sharr)`` is row-for-row the relation
+    ``exploded_shingles(sa).groupBy(doc_id).count()`` used to aggregate
+    per execution (r15, guide §2.4: the explode + partial/final
+    HashAggregate + Exchange disappear from every consumer's plan)."""
+    return sa.select("doc_id", F.size("sharr").alias(name))
+
+
 def _exact_jaccard_pairs(
     sh: DataFrame, threshold: float, df_cap: int = MAX_SHINGLE_DF,
     common: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs sharing ≥1 below-cap shingle, with exact Jaccard ≥
     threshold over the FULL shingle sets (see _candidate_common_counts
     for the candidate/exactness machinery and the equivalence bound).
     ``common`` lets corpus-level callers pass the staged shared
-    common-count frame (:func:`_staged_common`)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    common-count frame (:func:`_staged_common`); ``sizes`` the
+    array-derived per-doc counts (:func:`_sa_sizes`)."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if common is None:
         common = _candidate_common_counts(sh, df_cap)
     return (
@@ -360,6 +381,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(
         exploded_shingles(sa), JACCARD_THRESHOLD,
         common=_staged_common(spark, sf_dir, sa),
+        sizes=_sa_sizes(sa),
     )
 
 
@@ -762,6 +784,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _exact_jaccard_pairs(
         exploded_shingles(sa), JACCARD_THRESHOLD,
         common=_staged_common(spark, sf_dir, sa),
+        sizes=_sa_sizes(sa),
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -954,14 +977,27 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-consumer dedup pipeline — deriving them per-consumer re-ran
     # the tokenizer in all four scan subtrees (0.6 s → 8 s at sf0.1)
     sa = _staged_sa(spark, sf_dir)
-    sh = exploded_shingles(sa)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    idx = sh.join(rare, "shingle")
+
+    # the DF-capped posting index (shingle → doc postings for below-cap
+    # shingles) is the PRE-BUILT artifact this query models — production
+    # decontamination indexes the corpus + eval suites once and re-checks
+    # per ingest. Staged per corpus (r15, same convention as com_rare /
+    # common_counts, VERDICT r10 #7): the old lazy plan re-ran the full
+    # explode + DF aggregation + postings join TWICE per execution (the
+    # bench and train branches each re-evaluated the idx subtree).
+    def _build_idx() -> DataFrame:
+        sh = exploded_shingles(sa)
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("shingle")
+        )
+        return sh.join(rare, "shingle")
+
+    from restaurant_etl_spark.operators.staging import staged
+
+    idx = staged(spark, sf_dir, "documents", "decon_capped_postings", _build_idx)
     bench = idx.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -972,20 +1008,22 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= MIN_CONTAMINATION_OVERLAP)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id")
-    w_rank = w.orderBy(F.col("shared").desc(), "bench_id")
-    return (
-        ov.withColumn("n_bench_matches", F.count("*").over(w).cast("int"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("bench_id").alias("matched_bench_id"),
-            F.col("shared").alias("shared_shingles"),
-            "n_bench_matches",
-        )
+    # best-match per doc as max(struct(shared, -bench_id)) — exactly the
+    # (shared DESC, bench_id ASC) row_number pick, but as a partial+final
+    # HashAggregate instead of Exchange + two Sorts + two Window passes
+    # (r15, guide §2.3 "aggregate before you shuffle": the partial agg
+    # collapses to one row per doc_id map-side, and no sort runs at all;
+    # integer comparisons, so the pick is deterministic and the hash
+    # can't move).
+    best = F.max(F.struct(F.col("shared"), (-F.col("bench_id")).alias("nb")))
+    return ov.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bench_matches"),
+        best.alias("best"),
+    ).select(
+        "doc_id",
+        (-F.col("best.nb")).alias("matched_bench_id"),
+        F.col("best.shared").alias("shared_shingles"),
+        "n_bench_matches",
     )
 
 
@@ -1031,6 +1069,7 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_jaccard_pairs(
         exploded_shingles(sa), JACCARD_THRESHOLD,
         common=_staged_common(spark, sf_dir, sa),
+        sizes=_sa_sizes(sa),
     ).select(
         "doc_a", "doc_b"
     )
@@ -1106,8 +1145,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained in a bigger doc would otherwise appear oracle-side only),
     so candidate semantics are shared by construction (ADVICE r6 #2)."""
     sa = _staged_sa(spark, sf_dir)
-    sh = exploded_shingles(sa)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = _sa_sizes(sa, "n")
     com = _staged_common(spark, sf_dir, sa).withColumnRenamed("n_common", "c")
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -1207,16 +1245,17 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
     corpus = sh.filter(~is_batch)
     batch = sh.filter(is_batch)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = _sa_sizes(sa, "n")
 
     # same two-part exact-count scheme as _candidate_common_counts, with
     # the DF cap computed over CORPUS frequency only: below-cap commons
     # counted directly by the batch ⋈ capped-index join's group-by,
     # above-cap commons recovered pair-driven via the (broadcast) hot list
-    df_tab = corpus.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = df_tab.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
-    hot = df_tab.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle")
+    def _df_tab() -> DataFrame:
+        return corpus.groupBy("shingle").agg(F.count("*").alias("df"))
+
     def _build_com_rare() -> DataFrame:
+        rare = _df_tab().filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
         return (
             batch.withColumnRenamed("doc_id", "new_doc")
             .join(
@@ -1232,45 +1271,78 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's 27 s per-call residual in the sf10 cold ledger after the
     # shingle staging landed; the batch ⋈ capped-index join is exactly
     # the pre-built-index artifact the docstring describes, so it is
-    # keyed on the documents fingerprint like the index it models)
+    # keyed on the documents fingerprint like the index it models).
+    # r15: the hot stop-shingle list and the corpus-side hot postings are
+    # the index's OTHER half — the same pre-built artifact — and re-deriving
+    # them per execution re-ran the full corpus explode + DF aggregation
+    # twice per run; staged under the same key family.
     from restaurant_etl_spark.operators.staging import staged
 
     com_rare = staged(
         spark, sf_dir, "documents", "incremental_com_rare", _build_com_rare
     )
-    hot_batch = batch.join(F.broadcast(hot), "shingle").select(
-        F.col("doc_id").alias("new_doc"), "shingle"
+    hot = staged(
+        spark, sf_dir, "documents", "incremental_hot_shingles",
+        lambda: _df_tab().filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"),
     )
-    hot_corpus = corpus.join(F.broadcast(hot), "shingle").select(
-        F.col("doc_id").alias("index_doc"), "shingle"
-    )
-    corr = (
-        com_rare.select("new_doc", "index_doc")
-        .join(hot_batch, "new_doc")
-        .join(hot_corpus, ["index_doc", "shingle"])
-        .groupBy("new_doc", "index_doc")
-        .agg(F.count("*").alias("c_hot"))
-    )
-    com = com_rare.join(corr, ["new_doc", "index_doc"], "left").select(
-        "new_doc",
-        "index_doc",
-        (F.col("c_rare") + F.coalesce(F.col("c_hot"), F.lit(0))).alias("c"),
-    )
+    # corpus-adaptive dispatch (r15, same plan-time pattern as the
+    # keep-list verify arm): when the staged hot list is EMPTY the whole
+    # correction branch provably contributes nothing (corr is empty, so
+    # every coalesce(c_hot, 0) is 0 and c = c_rare) — skip its two joins,
+    # three exchanges and aggregation instead of executing them against
+    # zero rows every run. With hot shingles present the full two-part
+    # exact count runs unchanged; both paths are value-identical by
+    # construction, so the dispatch can never move a hash (pinned by
+    # tests/test_dedup_cap.py::test_incremental_corr_dispatch_arm_identity).
+    if not _has_rows(hot):
+        com = com_rare.select(
+            "new_doc", "index_doc", F.col("c_rare").alias("c")
+        )
+    else:
+        hot_corpus = staged(
+            spark, sf_dir, "documents", "incremental_hot_corpus",
+            lambda: corpus.join(F.broadcast(hot), "shingle").select(
+                F.col("doc_id").alias("index_doc"), "shingle"
+            ),
+        )
+        hot_batch = batch.join(F.broadcast(hot), "shingle").select(
+            F.col("doc_id").alias("new_doc"), "shingle"
+        )
+        corr = (
+            com_rare.select("new_doc", "index_doc")
+            .join(hot_batch, "new_doc")
+            .join(hot_corpus, ["index_doc", "shingle"])
+            .groupBy("new_doc", "index_doc")
+            .agg(F.count("*").alias("c_hot"))
+        )
+        com = com_rare.join(corr, ["new_doc", "index_doc"], "left").select(
+            "new_doc",
+            "index_doc",
+            (F.col("c_rare") + F.coalesce(F.col("c_hot"), F.lit(0))).alias("c"),
+        )
     scored = (
         com.join(sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n_a")), "new_doc")
         .join(sizes.select(F.col("doc_id").alias("index_doc"), F.col("n").alias("n_b")), "index_doc")
         .withColumn("jaccard", F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("new_doc").orderBy(F.desc("jaccard"), "index_doc")
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("new_doc", F.col("index_doc").alias("best_match"), F.col("jaccard").alias("best_jaccard"))
+    # best match per new doc as max(struct(jaccard, -index_doc)) — the
+    # (jaccard DESC, index_doc ASC) row_number pick as a partial+final
+    # HashAggregate instead of Exchange + Sort + Window (r15, guide §2.3;
+    # jaccard is rounded to a 4-dp grid and index_doc is an integer, so
+    # the struct comparison reproduces the sort order exactly)
+    pick = F.max(F.struct(F.col("jaccard"), (-F.col("index_doc")).alias("ni")))
+    best = scored.groupBy("new_doc").agg(pick.alias("p")).select(
+        "new_doc",
+        (-F.col("p.ni")).alias("best_match"),
+        F.col("p.jaccard").alias("best_jaccard"),
     )
-    batch_docs = batch.select(F.col("doc_id").alias("new_doc")).distinct()
+    # batch docs with ≥1 shingle, straight off the staged array frame —
+    # row-identical to DISTINCT over the exploded batch (sa keeps exactly
+    # the docs with ≥1 distinct shingle; r15, no explode + no re-agg)
+    batch_docs = sa.filter(is_batch).select(
+        F.col("doc_id").alias("new_doc")
+    ).distinct()
     return batch_docs.join(best, "new_doc", "left").select(
         "new_doc",
         "best_match",
@@ -1320,6 +1392,7 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _exact_jaccard_pairs(
         exploded_shingles(sa), JACCARD_THRESHOLD,
         common=_staged_common(spark, sf_dir, sa),
+        sizes=_sa_sizes(sa),
     )
     src = d.select("doc_id", "source")
     out = (

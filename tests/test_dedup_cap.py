@@ -195,3 +195,23 @@ def test_oracle_fragment_partition_exhaustive_and_disjoint_at_cap_boundary(
         }
         con.close()
         assert got == expect, f"materialized={materialized}: {got} != {expect}"
+
+
+def test_incremental_corr_dispatch_arm_identity(spark, sf_dir, monkeypatch):
+    """r15: dedup_incremental_batch skips the hot-shingle correction
+    subtree when the staged hot list is empty (it provably contributes
+    nothing). Pin arm identity: with _has_rows forced True the full
+    correction path must return byte-identical rows to the dispatch's
+    short-circuit on the same corpus."""
+    from restaurant_etl_spark.operators import dedup
+
+    def rows(df):
+        return sorted(
+            (r["new_doc"], r["best_match"], r["best_jaccard"], r["is_new"])
+            for r in df.collect()
+        )
+
+    short = rows(dedup.dedup_incremental_batch(spark, sf_dir))
+    monkeypatch.setattr(dedup, "_has_rows", lambda df: True)
+    full = rows(dedup.dedup_incremental_batch(spark, sf_dir))
+    assert short == full and len(short) > 0
