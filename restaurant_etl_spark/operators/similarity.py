@@ -67,11 +67,19 @@ _EMB_CONTRACT_SAMPLE = 4096
 #: verify) ran on one core — 33.7 s steady for similarity_topk_cosine at
 #: sf10, with 31 cores idle. When the scan yields fewer partitions than
 #: ceil(n / CHUNK), redistribute once; the shuffle is O(corpus bytes),
-#: amortized across the q×n scoring work that follows. Sized so small
-#: corpora (≤8k vectors) keep their single partition — zero plan change
-#: at sf0.001/0.01/0.1 — and a production corpus with a sane multi-file
-#: layout already exceeds the floor and never shuffles.
-_EMB_SCAN_CHUNK = 8192
+#: amortized across the q×n scoring work that follows.
+#:
+#: r15 re-sizing (guide §2.5, measured): the signature derivation costs
+#: ~0.3 ms/row (64 hyperplane dot-products through interpreted HOFs), so
+#: the old 8192-row chunk meant ≥2.5 s of serial per-task CPU — at sf0.1
+#: (n=2000) the ENTIRE keep-list/sig pipeline ran on one core while 31
+#: idled (dedup_embedding_keep 1.77 s steady, sig stage 0.64 s alone).
+#: 1024 rows ≈ 0.3 s of per-task signature work, the normal task-length
+#: target. The floor still never fires on a production corpus (any scan
+#: already at or beyond core count is left alone — see _emb), so this
+#: only widens starving single-row-group scans; the one-time shuffle it
+#: buys is O(corpus bytes) against the q×n scoring work that follows.
+_EMB_SCAN_CHUNK = 1024
 
 
 def _emb_files(sf_dir: str) -> list[str]:
