@@ -197,39 +197,40 @@ def assemble_items(lines: DataFrame, attach_descriptions: bool = True) -> DataFr
     parsed = parse_lines(lines)
 
     w = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
-    with_cat = (
-        parsed.withColumn(
-            "category",
-            F.last(F.when(F.col("__kind") == "header", F.initcap(F.lower(F.col("line")))), ignorenulls=True).over(w),
-        )
-        .withColumn(
-            "__cat_line",
-            F.last(F.when(F.col("__kind") == "header", F.col("line_no")), ignorenulls=True).over(w),
-        )
-        .withColumn(
-            "__sub_line",
-            F.last(F.when(F.col("__kind") == "subheader", F.col("line_no")), ignorenulls=True).over(w),
-        )
-        .withColumn(
-            "__sub_val",
-            F.last(
-                F.when(
-                    F.col("__kind") == "subheader",
-                    F.initcap(F.lower(F.regexp_replace(F.col("line"), r":\s*$", ""))),
-                ),
-                ignorenulls=True,
-            ).over(w),
-        )
+    # all five running-last propagations in ONE select: they share the
+    # window spec and are mutually independent, so Catalyst emits a
+    # single Window operator (one pass over the sorted lines). The
+    # previous sequential withColumn chain interleaved a Project between
+    # each pair, which blocked CollapseWindow and ran FIVE Window passes
+    # over every line (r15, guide §2.4 — same sort, same exchange, 5× the
+    # frame evaluation; values unchanged, expressions identical).
+    with_cat = parsed.select(
+        "*",
+        F.last(
+            F.when(F.col("__kind") == "header", F.initcap(F.lower(F.col("line")))),
+            ignorenulls=True,
+        ).over(w).alias("category"),
+        F.last(
+            F.when(F.col("__kind") == "header", F.col("line_no")), ignorenulls=True
+        ).over(w).alias("__cat_line"),
+        F.last(
+            F.when(F.col("__kind") == "subheader", F.col("line_no")), ignorenulls=True
+        ).over(w).alias("__sub_line"),
+        F.last(
+            F.when(
+                F.col("__kind") == "subheader",
+                F.initcap(F.lower(F.regexp_replace(F.col("line"), r":\s*$", ""))),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("__sub_val"),
+        F.last(
+            F.when(F.col("__kind") == "item", F.col("line_no")), ignorenulls=True
+        ).over(w).alias("__anchor"),
+    ).withColumn(
         # a subheader only applies under the category header it follows
         # (BetterVersion: subcategories reset at each new section)
-        .withColumn(
-            "subcategory",
-            F.when(F.col("__sub_line") > F.coalesce(F.col("__cat_line"), F.lit(-1)), F.col("__sub_val")),
-        )
-        .withColumn(
-            "__anchor",
-            F.last(F.when(F.col("__kind") == "item", F.col("line_no")), ignorenulls=True).over(w),
-        )
+        "subcategory",
+        F.when(F.col("__sub_line") > F.coalesce(F.col("__cat_line"), F.lit(-1)), F.col("__sub_val")),
     )
 
     items = (
