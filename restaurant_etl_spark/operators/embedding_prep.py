@@ -34,10 +34,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DIM/no-NULL/unique vec_id) and the scan-parallelism floor — a
     single-row-group corpus file otherwise pins these full-corpus maps
     to one core (embedding_quantize_int8 measured 8.0 s steady at sf10
-    on 1 of 32 cores, r9 sweep)."""
+    on 1 of 32 cores, r9 sweep). Chunk is the MAP size (VERDICT r15
+    #1): these are single-cheap-pass consumers (~40 µs/row), so the
+    floor only fires on corpora large enough that one task would carry
+    ≥ ~0.33 s of work — at bench sf0.1 the scan keeps its native
+    layout (no Exchange), at sf10 it still widens to 25 tasks."""
     from restaurant_etl_spark.operators import similarity as _sim
 
-    return _sim._emb(spark, sf_dir)
+    return _sim._emb(spark, sf_dir, chunk=_sim._EMB_MAP_CHUNK)
 
 
 def _dvec(col: str) -> Column:

@@ -79,7 +79,50 @@ _EMB_CONTRACT_SAMPLE = 4096
 #: already at or beyond core count is left alone — see _emb), so this
 #: only widens starving single-row-group scans; the one-time shuffle it
 #: buys is O(corpus bytes) against the q×n scoring work that follows.
+#:
+#: r16 scoping (VERDICT r15 #1, guide §2.5): the 1024-row floor is the
+#: SIGNATURE-pipeline size — ~0.3 ms/row of downstream work. Firing it
+#: from the shared loader made every consumer pay the round-robin
+#: shuffle, including single-cheap-pass maps (embedding_quantize_int8:
+#: ~40 µs/row, driver measured −29% at sf0.1) where the exchange + task
+#: fan-out costs more than the parallelism buys. The chunk is now a
+#: per-consumer parameter of :func:`_emb`: signature pipelines keep
+#: 1024; single-pass maps pass :data:`_EMB_MAP_CHUNK`; the q×n scoring
+#: scan derives its chunk from the runtime query count
+#: (:func:`_score_chunk`).
 _EMB_SCAN_CHUNK = 1024
+
+#: chunk for single-cheap-pass consumers (quantize / l2-normalize /
+#: avg-pool / dim-stats / centroid-assign): per-row work is one or two
+#: HOF passes over 64 floats, ~40 µs/row measured (embedding_quantize_
+#: int8 at sf10: 8.0 s over 200k rows on one core, r9 sweep), so 8192
+#: rows ≈ 0.33 s/task — the r14 value these paths ran at. At bench sf
+#: (n=2000) the floor stays quiet (no Exchange on the quantize plan);
+#: at sf10 it still widens the unsplittable single-row-group scan.
+_EMB_MAP_CHUNK = 8192
+
+#: q×n scoring cost: one zip_with+aggregate cosine against ONE query is
+#: ~1.3 µs/row (sf10 measured: 33.7 s / 200k rows / 128 queries); the
+#: per-task target is the same ~0.3 s as the signature floor.
+_EMB_SCORE_US_PER_ROW_QUERY = 1.3
+_EMB_TASK_TARGET_US = 300_000
+
+
+def _score_chunk(n_queries: int) -> int:
+    """Rows per scan task for a q×n scoring pass over ``n_queries``
+    broadcast queries: per-row cost scales with the query count, so the
+    chunk shrinks as the query set grows (floored at the signature
+    chunk — tasks never get narrower than the 0.3 s signature target).
+    At bench sf0.1 the query set is ~20 → chunk ≈ 11.5k → the n=2000
+    corpus stays un-repartitioned (the r15 floor added an Exchange
+    there, driver measured similarity_topk_cosine −12%); at the capped
+    128-query set the chunk is ~1.8k and the floor widens exactly the
+    starving scans it was built for."""
+    n_q = max(1, n_queries)
+    return max(
+        _EMB_SCAN_CHUNK,
+        int(_EMB_TASK_TARGET_US / (_EMB_SCORE_US_PER_ROW_QUERY * n_q)),
+    )
 
 
 def _emb_files(sf_dir: str) -> list[str]:
@@ -257,7 +300,19 @@ def _emb_contract_check(e: DataFrame, sf_dir: str) -> int:
     return bad["n"]
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_n(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count, contract-checked once per process per corpus
+    (file-fingerprint keyed) — split out of :func:`_emb` so consumers
+    that size their own scan chunk (the q×n scoring paths) can read n
+    without paying a second contract pass."""
+    key = _emb_contract_key(sf_dir)
+    if key not in _EMB_CONTRACT_OK:
+        e = load_table(spark, sf_dir, "embeddings")
+        _EMB_CONTRACT_OK[key] = _emb_contract_check(e, sf_dir)
+    return _EMB_CONTRACT_OK[key]
+
+
+def _emb(spark: SparkSession, sf_dir: str, chunk: int = _EMB_SCAN_CHUNK) -> DataFrame:
     """Load the embeddings table, enforcing the corpus data contract the
     embedding-family queries silently assume (ADVICE r8): every
     ``embedding`` is exactly DIM elements with no NULLs — the oracle's
@@ -269,15 +324,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors by vec_id and would emit duplicate scored rows otherwise.
     A violating corpus fails loudly here, once per process per CORPUS
     (file-fingerprint keyed); footer-proven corpora skip the full
-    pre-pass entirely (VERDICT r9 #7, see :func:`_emb_contract_check`)."""
+    pre-pass entirely (VERDICT r9 #7, see :func:`_emb_contract_check`).
+
+    ``chunk`` is the scan-parallelism floor's rows-per-task target,
+    sized by the CALLER to its downstream per-row cost (VERDICT r15 #1:
+    a corpus-sized floor fired for every consumer and taxed the cheap
+    ones): :data:`_EMB_SCAN_CHUNK` for signature pipelines,
+    :data:`_EMB_MAP_CHUNK` for single-pass maps, :func:`_score_chunk`
+    for q×n scoring. Pure partitioning — values never move."""
     e = load_table(spark, sf_dir, "embeddings")
-    key = _emb_contract_key(sf_dir)
-    if key not in _EMB_CONTRACT_OK:
-        _EMB_CONTRACT_OK[key] = _emb_contract_check(e, sf_dir)
-    n = _EMB_CONTRACT_OK[key]
+    n = _emb_n(spark, sf_dir)
     want = min(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
-        -(-n // _EMB_SCAN_CHUNK),  # ceil
+        -(-n // chunk),  # ceil
     )
     # Redistribute ONLY when the scan cannot even feed the cores (the r9
     # single-row-group trap this floor exists for). r14: the old
@@ -381,8 +440,16 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set the scan is O(corpus); this is the exact baseline ANN
     variants are measured against. Corpus norms are computed once per
     row (query norms once per query) instead of once per (q, vec) pair —
-    identical values, one third the FLOPs on the O(corpus) scan."""
-    e = _emb(spark, sf_dir).select(
+    identical values, one third the FLOPs on the O(corpus) scan.
+
+    Scan floor sized to the scoring cost (VERDICT r15 #1): per-row work
+    is one cosine per broadcast query, so the chunk derives from the
+    runtime query count — small query sets (bench sf0.1: ~20) leave the
+    scan alone, the capped 128-query set widens a starving scan to
+    ~1.8k-row tasks."""
+    n = _emb_n(spark, sf_dir)
+    n_q = min(-(-n // 100), N_QUERIES)  # ids 0,100,… < min(n, QUERY_ID_CAP)
+    e = _emb(spark, sf_dir, chunk=_score_chunk(n_q)).select(
         "vec_id", "embedding", _norm(_dvec("embedding")).alias("nrm")
     )
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < QUERY_ID_CAP)).select(
@@ -592,8 +659,11 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroids (posexplode → per-dimension
     avg → re-assemble, rounded for engine-stable floats), then nearest
     centroid per vector by cosine. The centroid table is tiny → broadcast;
-    the corpus scan stays narrow."""
-    e = _emb(spark, sf_dir).select("vec_id", "label", F.col("embedding").alias("v"))
+    the corpus scan stays narrow. Map-sized scan floor: per-row work is a
+    handful of label-centroid cosines, not a signature derivation."""
+    e = _emb(spark, sf_dir, chunk=_EMB_MAP_CHUNK).select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
     dims = (
         e.select("label", F.posexplode(_dvec("v")).alias("i", "x"))
         .groupBy("label", "i")

@@ -200,3 +200,34 @@ def test_spot_check_spreads_across_files(tmp_path):
     # 12 row groups, sampler takes _EMB_SPOT_ROW_GROUPS spread ones
     # including first and last; each contributes up to budget/k rows
     assert checked >= sim._EMB_SPOT_ROW_GROUPS * 40 / 2
+
+
+# ---------------------------------------------------------------------------
+# r16: per-consumer scan-floor chunks (VERDICT r15 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_scan_floor_chunk_is_per_consumer(spark, tmp_path):
+    """The floor must be sized by the CALLER's downstream per-row cost:
+    a 2000-row corpus (bench sf0.1 size) widens under the signature
+    chunk but keeps its native single-partition scan under the map
+    chunk — the r15 regression was the map consumers paying the
+    signature floor's shuffle (driver: embedding_quantize_int8 −29%)."""
+    p = str(tmp_path)
+    _write_corpus(spark, p, 2000)
+    sig = sim._emb(spark, p)  # default: signature chunk (1024)
+    assert sig.rdd.getNumPartitions() == 2
+    mapped = sim._emb(spark, p, chunk=sim._EMB_MAP_CHUNK)
+    assert mapped.rdd.getNumPartitions() == 1
+
+
+def test_score_chunk_tracks_query_count():
+    """q×n scoring chunk shrinks with the broadcast query count and never
+    drops below the signature chunk: ~20 queries (bench sf0.1) must NOT
+    trip the floor on an n=2000 corpus (chunk > 2000), the capped
+    128-query set must (chunk ~1.8k)."""
+    assert sim._score_chunk(20) > 2000
+    assert sim._EMB_SCAN_CHUNK <= sim._score_chunk(128) < 2000
+    # degenerate inputs stay sane
+    assert sim._score_chunk(0) >= sim._EMB_SCAN_CHUNK
+    assert sim._score_chunk(10**9) == sim._EMB_SCAN_CHUNK
