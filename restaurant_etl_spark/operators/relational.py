@@ -19,13 +19,20 @@ from restaurant_etl_spark.functions.money import (
     SQL_DISC_PRICE,
     SQL_PRICE,
     avg_on_grid,
+    avg_on_grid_from_cents,
+    cents,
     charge,
     disc_price,
+    disc_price_units,
     frac,
+    frac_units,
+    sum_units_split,
     money,
     sql_avg_on_grid,
+    sum_cents,
     sum_money,
     sum_money_grid,
+    sum_split_round2,
 )
 from restaurant_etl_spark.operators.asof import asof_join
 from restaurant_etl_spark.operators.registry import register
@@ -68,17 +75,50 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (restaurant_etl/models/menu_models.py:229-248) generalized to lineitem.
     Averages derive from the exact decimal sums via integer-only HALF_UP
     (ADVICE r7: DOUBLE avg accumulation is the q7/q9 sf1 drift class).
-    """
+
+    r16 (VERDICT r15 #3, guide §5): the seven money sums are carried as
+    BIGINT scaled integers instead of DECIMAL(27,4)/(32,6) — the wide
+    decimal sums exceeded the compact-long precision limit, so every
+    aggregation-buffer update paid a JavaBigDecimal round-trip. Each
+    grid value is an exact scaled integer (same decimal-cast snap), the
+    partial/final sums are plain long adds, and one per-group finish
+    reassembles the exact decimal and rounds — value-identical by the
+    overflow bounds documented in functions/money.py (the 4-dec and
+    6-dec sums split into DIV/MOD accumulator pairs so the carry fits
+    BIGINT at 100 TB group sizes)."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_money(F.col("l_quantity").cast(QTY_DEC), "sum_qty"),
-        sum_money(money("l_extendedprice"), "sum_base_price"),
-        sum_money(disc_price(), "sum_disc_price"),
-        sum_money(charge(), "sum_charge"),
-        avg_on_grid("l_quantity", QTY_DEC, 2, "avg_qty"),
-        avg_on_grid("l_extendedprice", "DECIMAL(12,2)", 2, "avg_price"),
-        avg_on_grid("l_discount", FRAC_DEC, 4, "avg_disc"),
+    d4 = cents("l_extendedprice") * frac_units(F.lit(1) - F.col("l_discount"))
+    c6 = d4 * frac_units(F.lit(1) + F.col("l_tax"))
+    rows = l.select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("pc"),
+        frac_units(F.col("l_discount")).alias("dc"),
+        d4.alias("d4"),
+        c6.alias("c6"),
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qc").alias("sq"),
+        F.sum("pc").alias("sp"),
+        F.sum(F.expr("d4 DIV 10000")).alias("dd"),
+        F.sum(F.expr("d4 % 10000")).alias("dm"),
+        F.sum(F.expr("c6 DIV 1000000")).alias("cd"),
+        F.sum(F.expr("c6 % 1000000")).alias("cm"),
+        F.sum("dc").alias("sdisc"),
         F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_cents("sq", "sum_qty"),
+        sum_cents("sp", "sum_base_price"),
+        sum_split_round2("dd", "dm", 4, "sum_disc_price"),
+        sum_split_round2("cd", "cm", 6, "sum_charge"),
+        avg_on_grid_from_cents("sq", "count_order", 2, "avg_qty"),
+        avg_on_grid_from_cents("sp", "count_order", 2, "avg_price"),
+        avg_on_grid_from_cents("sdisc", "count_order", 4, "avg_disc"),
+        "count_order",
     )
 
 
@@ -108,9 +148,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("_rev4", disc_price_units())
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum_money(disc_price(), "revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(*sum_units_split("_rev4", 4, "_rev"))
+        .select(
+            "l_orderkey",
+            sum_split_round2("_rev_d", "_rev_m", 4, "revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -150,8 +196,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("_rev4", disc_price_units())
         .groupBy("n_name")
-        .agg(sum_money(disc_price(), "revenue"))
+        .agg(*sum_units_split("_rev4", 4, "_rev"))
+        .select("n_name", sum_split_round2("_rev_d", "_rev_m", 4, "revenue"))
     )
 
 
@@ -178,9 +226,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
+        .withColumn("_rev4", cents("l_extendedprice") * frac_units(F.col("l_discount")))
         .agg(
-            sum_money(money("l_extendedprice") * frac(F.col("l_discount")), "revenue"),
+            *sum_units_split("_rev4", 4, "_rev"),
             F.count("*").alias("n_lines"),
+        )
+        .select(
+            sum_split_round2("_rev_d", "_rev_m", 4, "revenue"),
+            "n_lines",
         )
     )
 
@@ -212,9 +265,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("_rev4", disc_price_units())
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(sum_money(disc_price(), "revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .agg(*sum_units_split("_rev4", 4, "_rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            sum_split_round2("_rev_d", "_rev_m", 4, "revenue"),
+            "n_name",
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )

@@ -18,10 +18,13 @@ from restaurant_etl_spark.functions.money import (
     QTY_DEC,
     SQL_DISC_PRICE,
     disc_price,
+    disc_price_units,
     frac,
     money,
     sum_money,
     sum_money_grid,
+    sum_split_round2,
+    sum_units_split,
 )
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
@@ -72,8 +75,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, F.col("s_nationkey") == F.col("sn_key"))
         .join(cn, F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
+        .withColumn("_rev4", disc_price_units())
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(sum_money(_rev(), "revenue"))
+        .agg(*sum_units_split("_rev4", 4, "_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            sum_split_round2("_rev_d", "_rev_m", 4, "revenue"),
+        )
     )
 
 

